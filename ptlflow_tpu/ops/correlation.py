@@ -1,0 +1,150 @@
+"""Correlation-volume ops: the heart of RAFT-family models.
+
+TPU-first design (SURVEY.md §2.2, §3.3):
+- The all-pairs volume is one big MXU matmul over (H*W, C) feature matrices
+  (reference: CorrBlock.corr, /root/reference/ptlflow/models/raft/corr.py:56-64).
+- The multi-scale pyramid is built with 2x2 average pooling
+  (corr.py:25-27) and looked up per GRU iteration with bilinear gathers in a
+  (2r+1)^2 window (corr.py:29-54).  The lookup offset ordering intentionally
+  reproduces the reference's quirk (meshgrid(dy, dx) added to (x, y) coords)
+  so that converted pretrained weights see identical channel ordering.
+- ``local_correlation`` covers the PWC-style spatial correlation sampler
+  (/root/reference/ptlflow/utils/correlation.py:35-274).
+
+Everything is NHWC and jit-friendly (static shapes, no Python data-dependent
+control flow).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import avg_pool2d
+from .grid_sample import bilinear_sampler
+
+
+def coords_grid(batch: int, ht: int, wd: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(B, H, W, 2) grid of (x, y) pixel coordinates.
+
+    NHWC analog of the reference's coords_grid
+    (/root/reference/ptlflow/models/raft/utils.py:84-91, which returns (B,2,H,W)).
+    """
+    y = jnp.arange(ht, dtype=dtype)
+    x = jnp.arange(wd, dtype=dtype)
+    xx, yy = jnp.meshgrid(x, y)  # (H, W) each
+    grid = jnp.stack([xx, yy], axis=-1)
+    return jnp.broadcast_to(grid[None], (batch, ht, wd, 2))
+
+
+def all_pairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
+    """Full HW x HW correlation volume, normalized by sqrt(C).
+
+    fmap1, fmap2: (B, H, W, C). Returns (B, H*W, H, W) with a trailing
+    1-channel layout left implicit: we reshape to (B*H*W, H2, W2, 1) for the
+    pyramid.  The matmul runs in fp32 accumulation on the MXU.
+    """
+    b, h, w, c = fmap1.shape
+    f1 = fmap1.reshape(b, h * w, c)
+    f2 = fmap2.reshape(b, h * w, c)
+    corr = jax.lax.dot_general(
+        f1, f2, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    corr = corr / math.sqrt(c)
+    return corr.reshape(b, h * w, h, w)
+
+
+def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                       num_levels: int = 4) -> List[jnp.ndarray]:
+    """List of (B*H1*W1, H2/2^i, W2/2^i, 1) volumes."""
+    b, h, w, _ = fmap1.shape
+    corr = all_pairs_correlation(fmap1, fmap2)
+    corr = corr.reshape(b * h * w, h, w, 1)
+    pyramid = [corr]
+    for _ in range(num_levels - 1):
+        corr = avg_pool2d(corr, 2, 2)
+        pyramid.append(corr)
+    return pyramid
+
+
+def corr_pyramid_lookup(pyramid: Sequence[jnp.ndarray], coords: jnp.ndarray,
+                        radius: int) -> jnp.ndarray:
+    """Sample each pyramid level in a (2r+1)^2 window around coords.
+
+    coords: (B, H1, W1, 2) pixel coords (x, y) on the level-0 grid.
+    Returns (B, H1, W1, L*(2r+1)^2), channel order identical to the torch
+    reference (level-major; within a level, the reference adds
+    meshgrid(dy, dx)[..., (dy, dx)] to (x, y), i.e. the first window axis
+    offsets x — reproduced exactly here; see corr.py:37-50).
+    """
+    b, h1, w1, _ = coords.shape
+    r = radius
+    d = jnp.arange(-r, r + 1, dtype=coords.dtype)
+    da, db = jnp.meshgrid(d, d, indexing="ij")
+    # delta[..., 0] (added to x) varies along the *first* window axis.
+    delta = jnp.stack([da, db], axis=-1)  # (2r+1, 2r+1, 2)
+
+    out_pyramid = []
+    centroid = coords.reshape(b * h1 * w1, 1, 1, 2)
+    for i, corr in enumerate(pyramid):
+        coords_lvl = centroid / (2 ** i) + delta[None]
+        sampled = bilinear_sampler(corr, coords_lvl)  # (BHW, 2r+1, 2r+1, 1)
+        out_pyramid.append(sampled.reshape(b, h1, w1, -1))
+    return jnp.concatenate(out_pyramid, axis=-1)
+
+
+class CorrBlock:
+    """Functional equivalent of the reference CorrBlock (corr.py:12-64)."""
+
+    def __init__(self, fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                 num_levels: int = 4, radius: int = 4):
+        self.num_levels = num_levels
+        self.radius = radius
+        self.pyramid = build_corr_pyramid(fmap1, fmap2, num_levels)
+
+    def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
+        return corr_pyramid_lookup(self.pyramid, coords, self.radius)
+
+
+def local_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                      max_displacement: int,
+                      coords: Optional[jnp.ndarray] = None,
+                      normalize: bool = True) -> jnp.ndarray:
+    """PWC-style local correlation over a (2d+1)^2 displacement window.
+
+    Equivalent to ``iter_(translated_)spatial_correlation_sample`` with
+    kernel_size=1 (/root/reference/ptlflow/utils/correlation.py:35,276) —
+    the configuration every zoo model uses.  When ``coords`` is given the
+    window is centered at the (flow-translated) coords instead of identity.
+
+    Returns (B, H, W, (2d+1)^2); channel order (dy, dx) row-major, matching
+    the torch sampler's (ph, pw) output layout flattened.
+    """
+    b, h, w, c = fmap1.shape
+    d = max_displacement
+    n = 2 * d + 1
+    if coords is None:
+        # Pure shifting — XLA handles this as cheap pads/slices.
+        f2pad = jnp.pad(fmap2, ((0, 0), (d, d), (d, d), (0, 0)))
+        outs = []
+        for dy in range(-d, d + 1):
+            for dx in range(-d, d + 1):
+                shifted = jax.lax.dynamic_slice(
+                    f2pad, (0, d + dy, d + dx, 0), (b, h, w, c))
+                outs.append(jnp.sum(fmap1 * shifted, axis=-1))
+        corr = jnp.stack(outs, axis=-1)
+    else:
+        base = coords  # (B, H, W, 2) pixel coords into fmap2
+        dr = jnp.arange(-d, d + 1, dtype=base.dtype)
+        dyy, dxx = jnp.meshgrid(dr, dr, indexing="ij")
+        offsets = jnp.stack([dxx, dyy], axis=-1).reshape(-1, 2)  # (n*n, 2):(x,y)
+        sample_coords = base[:, :, :, None, :] + offsets[None, None, None]
+        sc = sample_coords.reshape(b, h, w * n * n, 2)
+        f2s = bilinear_sampler(fmap2, sc).reshape(b, h, w, n * n, c)
+        corr = jnp.einsum("bhwc,bhwkc->bhwk", fmap1, f2s)
+    if normalize:
+        corr = corr / c
+    return corr

@@ -1,0 +1,73 @@
+"""Warping and forward-projection ops.
+
+- ``backward_warp``: warp an image towards flow targets (grid_sample based),
+  the standard PWC/LiteFlowNet warping op.
+- ``forward_interpolate``: device-side forward splat replacing the
+  reference's CPU scipy.griddata nearest scatter
+  (/root/reference/ptlflow/utils/external/raft.py:155-185), used by the
+  RAFT warm-start path.  The reference runs nearest-neighbor interpolation of
+  scattered points; here we forward-splat each source pixel's flow onto its
+  rounded target cell (last-write-wins scatter) and leave unhit cells at 0 —
+  a jit-compatible approximation with the same role (flow initialization),
+  avoiding the host round-trip entirely.
+- ``fb_check``: forward-backward consistency occlusion estimation
+  (/root/reference/ptlflow/utils/flow_utils.py:216-246).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .correlation import coords_grid
+from .grid_sample import bilinear_sampler
+
+
+def backward_warp(img: jnp.ndarray, flow: jnp.ndarray,
+                  return_mask: bool = False):
+    """Sample ``img`` at (grid + flow).  img: (B,H,W,C), flow: (B,H,W,2)."""
+    b, h, w, _ = flow.shape
+    coords = coords_grid(b, h, w, dtype=flow.dtype) + flow
+    return bilinear_sampler(img, coords, mask=return_mask)
+
+
+def forward_interpolate(flow: jnp.ndarray) -> jnp.ndarray:
+    """Forward-project a flow field: out[round(p + flow(p))] = flow(p).
+
+    flow: (B, H, W, 2).  Unhit target cells are 0.  Out-of-frame targets are
+    dropped, mirroring the validity mask in the reference implementation.
+    """
+    b, h, w, _ = flow.shape
+    coords = coords_grid(b, h, w, dtype=flow.dtype)
+    tgt = coords + flow
+    tx = jnp.round(tgt[..., 0]).astype(jnp.int32)
+    ty = jnp.round(tgt[..., 1]).astype(jnp.int32)
+    valid = (tgt[..., 0] > 0) & (tgt[..., 0] < w - 1) & \
+            (tgt[..., 1] > 0) & (tgt[..., 1] < h - 1)
+    # invalid pixels scatter to a dump cell outside the output
+    flat_idx = jnp.where(valid, ty * w + tx, h * w)
+    src = flow.reshape(b, h * w, 2)
+
+    def splat_one(idx, vals):
+        out = jnp.zeros((h * w + 1, 2), vals.dtype)
+        out = out.at[idx].set(vals, mode="drop")
+        return out[:h * w]
+
+    out = jax.vmap(splat_one)(flat_idx.reshape(b, h * w), src)
+    return out.reshape(b, h, w, 2)
+
+
+def fb_check(flow_fw: jnp.ndarray, flow_bw: jnp.ndarray,
+             alpha_1: float = 0.01, alpha_2: float = 0.5) -> jnp.ndarray:
+    """Forward-backward consistency check.  Returns occlusion mask (B,H,W,1).
+
+    A pixel is occluded when |fw + bw(warped)|^2 exceeds
+    alpha_1 * (|fw|^2 + |bw_warped|^2) + alpha_2.
+    """
+    bw_warped = backward_warp(flow_bw, flow_fw)
+    diff = flow_fw + bw_warped
+    mag_sq = jnp.sum(flow_fw ** 2, axis=-1, keepdims=True) + \
+        jnp.sum(bw_warped ** 2, axis=-1, keepdims=True)
+    occ = jnp.sum(diff ** 2, axis=-1, keepdims=True) > \
+        (alpha_1 * mag_sq + alpha_2)
+    return occ.astype(flow_fw.dtype)
