@@ -1,0 +1,45 @@
+"""Headline benchmark: RAFT frames/sec/chip at Sintel 1024x436, 12 GRU iters.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline anchor (BASELINE.md / SURVEY.md §6): reference RAFT fp32 on RTX 3090
+runs 139.294 ms at 500x1000 ≈ 7.18 fps; scaled to 1024x436 pixel count
+(~0.874x) ≈ 8.2 fps reference-class.  vs_baseline = our_fps / 8.2.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 8.2
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import ptlflow_tpu
+
+    model = ptlflow_tpu.get_model("raft", args={"iters": 12})
+    model.init_params()
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, 2, 3, 436, 1024).astype(np.float32))
+
+    from ptlflow_tpu.utils.timing import measure_latency
+
+    inputs = {"images": images}
+    latency = measure_latency(model.forward, model.params, inputs,
+                              n_chain=5, repeats=3)
+    fps = 1.0 / latency
+
+    print(json.dumps({
+        "metric": "raft_fps_sintel_1024x436_12iters",
+        "value": round(fps, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
