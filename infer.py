@@ -1,0 +1,110 @@
+"""Inference on image pairs, folders, or videos.
+
+CLI parity with /root/reference/infer.py: --model, --ckpt_path,
+--input_path (two images | folder | video), --output_path, --flow_format,
+optional GT EPE printing; writes flow files + RGB visualizations.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from ptlflow_tpu.utils import flow_io
+from ptlflow_tpu.utils.cli import (add_common_model_args, load_config,
+                                   model_from_args)
+from ptlflow_tpu.utils.flow_viz import flow_to_rgb
+from ptlflow_tpu.utils.io_adapter import IOAdapter
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".ppm", ".bmp")
+VID_EXTS = (".mp4", ".avi", ".mkv", ".webm")
+
+
+def _parse_args():
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_model_args(parser)
+    parser.add_argument("--input_path", type=str, nargs="+", required=True,
+                        help="two images | a folder of frames | a video file")
+    parser.add_argument("--output_path", type=str, default="outputs/infer")
+    parser.add_argument("--flow_format", type=str, default="flo",
+                        choices=["flo", "png", "flo5", "npy"])
+    parser.add_argument("--gt_path", type=str, default=None,
+                        help="optional GT flow to print EPE")
+    parser.add_argument("--scale_factor", type=float, default=None)
+    parser.add_argument("--max_forward_side", type=int, default=None)
+    parser.add_argument("--write_viz", action="store_true", default=True)
+    return parser.parse_args()
+
+
+def init_input(input_path: List[str]):
+    """Yield (name, frame) pairs (reference infer.py:234)."""
+    import cv2 as cv
+
+    if len(input_path) == 1 and Path(input_path[0]).is_dir():
+        frames = sorted(p for p in Path(input_path[0]).iterdir()
+                        if p.suffix.lower() in IMG_EXTS)
+        for p in frames:
+            yield p.stem, cv.imread(str(p))
+    elif len(input_path) == 1 and \
+            Path(input_path[0]).suffix.lower() in VID_EXTS:
+        cap = cv.VideoCapture(input_path[0])
+        i = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            yield f"{i:06d}", frame
+            i += 1
+        cap.release()
+    else:
+        for p in input_path:
+            yield Path(p).stem, cv.imread(str(p))
+
+
+def infer(args):
+    model, name = model_from_args(args, load_config(args))
+    if model.params is None:
+        model.init_params()
+
+    scale = args.scale_factor
+    target_size = None
+    io_adapter = IOAdapter(model, target_scale_factor=scale,
+                           target_size=target_size)
+
+    out_dir = Path(args.output_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    prev_name, prev_frame = None, None
+    for cur_name, frame in init_input(args.input_path):
+        if prev_frame is None:
+            prev_name, prev_frame = cur_name, frame
+            continue
+        inputs = io_adapter.prepare_inputs([prev_frame, frame])
+        preds = model(inputs)
+        preds = io_adapter.unscale(preds)
+        flow = np.asarray(preds["flows"])[0, 0]  # (2, H, W)
+        flow_hwc = np.transpose(flow, (1, 2, 0))
+
+        stem = f"{prev_name}"
+        flow_io.flow_write(out_dir / f"{stem}.{args.flow_format}", flow_hwc)
+        if args.write_viz:
+            import cv2 as cv
+
+            viz = flow_to_rgb(flow_hwc)
+            cv.imwrite(str(out_dir / f"{stem}_viz.png"), viz[..., ::-1])
+
+        if args.gt_path is not None:
+            gt = flow_io.flow_read(args.gt_path)
+            valid = ~np.isnan(gt[..., 0])
+            epe = np.linalg.norm(flow_hwc - np.nan_to_num(gt), axis=-1)
+            print(f"{stem}: EPE = {epe[valid].mean():.4f}")
+
+        prev_name, prev_frame = cur_name, frame
+    print(f"wrote outputs to {out_dir}")
+
+
+if __name__ == "__main__":
+    infer(_parse_args())

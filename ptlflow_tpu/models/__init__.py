@@ -2,3 +2,4 @@
 (reference: /root/reference/ptlflow/models/__init__.py:1-45)."""
 
 from .raft import raft, raft_small  # noqa: F401
+from .gma import gma  # noqa: F401

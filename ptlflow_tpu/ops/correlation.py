@@ -70,6 +70,25 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
     return pyramid
 
 
+def _bilinear_onehot(pos0: jnp.ndarray, frac: jnp.ndarray, radius: int,
+                     size: int, dtype) -> jnp.ndarray:
+    """(Q,) integer corner + (Q,) fraction -> (Q, 2r+1, size) selection
+    matrix R with R[q, a, p] = bilinear weight of table position p for the
+    sample at pos0[q] + frac[q] + (a - r).
+
+    Out-of-range positions simply match no column, which reproduces
+    grid_sample's zero-padding semantics exactly — no pad, no mask.
+    """
+    n = 2 * radius + 1
+    pos = pos0[:, None] + jnp.arange(-radius, radius + 1,
+                                     dtype=pos0.dtype)[None]  # (Q, n)
+    cols = jnp.arange(size, dtype=pos0.dtype)  # (size,)
+    eq0 = (cols[None, None] == pos[..., None]).astype(dtype)
+    eq1 = (cols[None, None] == (pos + 1)[..., None]).astype(dtype)
+    f = frac[:, None, None].astype(dtype)
+    return eq0 * (1 - f) + eq1 * f
+
+
 def corr_pyramid_lookup(pyramid: Sequence[jnp.ndarray], coords: jnp.ndarray,
                         radius: int) -> jnp.ndarray:
     """Sample each pyramid level in a (2r+1)^2 window around coords.
@@ -79,20 +98,38 @@ def corr_pyramid_lookup(pyramid: Sequence[jnp.ndarray], coords: jnp.ndarray,
     reference (level-major; within a level, the reference adds
     meshgrid(dy, dx)[..., (dy, dx)] to (x, y), i.e. the first window axis
     offsets x — reproduced exactly here; see corr.py:37-50).
+
+    TPU-first implementation: because the bilinear fractions are shared by
+    the whole (2r+1)^2 window (integer offsets), the lookup factorizes into
+    two batched one-hot matmuls per level,
+        out[q, a, b] = Rx[q, a, :] . slab[q] . Ry[q, b, :]^T,
+    which run on the MXU instead of as XLA gathers (the reference's
+    grid_sample path, corr.py:29-54, is a gather — the #1 TPU bottleneck).
     """
     b, h1, w1, _ = coords.shape
+    B = b * h1 * w1
     r = radius
-    d = jnp.arange(-r, r + 1, dtype=coords.dtype)
-    da, db = jnp.meshgrid(d, d, indexing="ij")
-    # delta[..., 0] (added to x) varies along the *first* window axis.
-    delta = jnp.stack([da, db], axis=-1)  # (2r+1, 2r+1, 2)
+    n = 2 * r + 1
+    cdtype = jnp.promote_types(coords.dtype, jnp.float32)
+    centroid = coords.reshape(B, 2).astype(cdtype)
 
     out_pyramid = []
-    centroid = coords.reshape(b * h1 * w1, 1, 1, 2)
     for i, corr in enumerate(pyramid):
-        coords_lvl = centroid / (2 ** i) + delta[None]
-        sampled = bilinear_sampler(corr, coords_lvl)  # (BHW, 2r+1, 2r+1, 1)
-        out_pyramid.append(sampled.reshape(b, h1, w1, -1))
+        h2, w2 = corr.shape[1], corr.shape[2]
+        slab = corr.reshape(B, h2, w2)
+        xc = centroid[:, 0] / (2 ** i)
+        yc = centroid[:, 1] / (2 ** i)
+        x0 = jnp.floor(xc)
+        y0 = jnp.floor(yc)
+        dt = slab.dtype
+        rx = _bilinear_onehot(x0, xc - x0, r, w2, dt)  # (B, n, W2)
+        ry = _bilinear_onehot(y0, yc - y0, r, h2, dt)  # (B, n, H2)
+        tmp = jnp.einsum("qby,qyx->qbx", ry, slab,
+                         preferred_element_type=jnp.float32)
+        # out[q, a, b]: first window axis offsets x (the reference quirk)
+        outl = jnp.einsum("qbx,qax->qab", tmp.astype(dt), rx,
+                          preferred_element_type=jnp.float32)
+        out_pyramid.append(outl.reshape(b, h1, w1, n * n).astype(dt))
     return jnp.concatenate(out_pyramid, axis=-1)
 
 

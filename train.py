@@ -1,0 +1,149 @@
+"""Training entry point: data-parallel jit over the device mesh.
+
+CLI parity with /root/reference/train.py (model + data + trainer trees,
+YAML configs, checkpointing last/best) with a TPU-native runtime: one jitted
+train step (AdamW + OneCycle, grad clip), batch sharded over the mesh 'data'
+axis, orbax checkpoints, periodic validation with the headline metric per
+dataset (reference BaseModel.DATASET_MAIN_METRIC).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+import ptlflow_tpu
+from ptlflow_tpu import nn
+from ptlflow_tpu.parallel import (
+    make_mesh, make_optimizer, create_train_state, build_train_step,
+    shard_batch,
+)
+from ptlflow_tpu.utils.ckpt import save_orbax
+from ptlflow_tpu.utils.cli import (add_common_model_args, datamodule_from_cfg,
+                                   load_config, model_from_args)
+from ptlflow_tpu.utils.flow_metrics import FlowMetrics
+
+# per-dataset headline metric (reference base_model.py:40-59)
+DATASET_MAIN_METRIC = {
+    "chairs": "epe", "chairs2": "epe", "things": "epe", "sintel": "epe",
+    "kitti": "flall", "hd1k": "flall", "spring": "px1",
+}
+
+
+def _parse_args():
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_model_args(parser)
+    parser.add_argument("--train_dataset", type=str, default=None)
+    parser.add_argument("--val_dataset", type=str, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--wdecay", type=float, default=None)
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--train_batch_size", type=int, default=None)
+    parser.add_argument("--train_crop_size", type=int, nargs=2, default=None)
+    parser.add_argument("--train_num_workers", type=int, default=None)
+    parser.add_argument("--grad_clip", type=float, default=1.0)
+    parser.add_argument("--val_every_n_steps", type=int, default=1000)
+    parser.add_argument("--log_every_n_steps", type=int, default=100)
+    parser.add_argument("--ckpt_dir", type=str, default="ptlflow_checkpoints")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--n_devices", type=int, default=None)
+    return parser.parse_args()
+
+
+def run_validation(model, state, dm):
+    import jax.numpy as jnp
+
+    full = nn.merge_params(state.params, state.state)
+    results = {}
+    for name, loader in zip(dm.val_dataset_names, dm.val_dataloader()):
+        metrics = FlowMetrics()
+        for batch in loader:
+            inputs = {"images": jnp.asarray(batch["images"])}
+            preds = model.forward(full, inputs, training=False)
+            targets = {"flows": jnp.asarray(batch["flows"])}
+            if "valids" in batch:
+                targets["valids"] = jnp.asarray(batch["valids"])
+            metrics.update({"flows": preds["flows"]}, targets)
+        results[name] = metrics.compute()
+    return results
+
+
+def main():
+    args = _parse_args()
+    cfg = load_config(args)
+    model, model_name = model_from_args(args, cfg)
+    if model.params is None:
+        model.init_params(args.seed)
+    assert model.loss_fn is not None, \
+        f"model {model_name} has no loss function and cannot be trained"
+
+    train_cfg = cfg.get("trainer", {})
+    lr = args.lr or cfg.get("model", {}).get("init_args", {}).get("lr") or 1e-4
+    wdecay = args.wdecay or 1e-4
+    max_steps = args.max_steps or train_cfg.get("max_steps") or 100000
+
+    dm = datamodule_from_cfg(
+        cfg, output_stride=model.output_stride,
+        train_dataset=args.train_dataset, val_dataset=args.val_dataset,
+        train_batch_size=args.train_batch_size,
+        train_crop_size=tuple(args.train_crop_size)
+        if args.train_crop_size else None,
+        train_num_workers=args.train_num_workers)
+    dm.setup()
+
+    mesh = make_mesh(args.n_devices)
+    tx = make_optimizer(lr=lr, wdecay=wdecay, total_steps=max_steps,
+                        grad_clip=args.grad_clip)
+    state = create_train_state(model, tx, seed=args.seed)
+    step_fn = build_train_step(model, tx, mesh=mesh)
+
+    ckpt_dir = Path(args.ckpt_dir) / model_name
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    best_val = float("inf")
+
+    step = 0
+    t0 = time.perf_counter()
+    print(f"training {model_name}: {max_steps} steps, lr={lr}, "
+          f"devices={len(mesh.devices.flat)}")
+    with mesh:
+        while step < max_steps:
+            for batch in dm.train_dataloader():
+                if step >= max_steps:
+                    break
+                device_batch = shard_batch({
+                    k: v for k, v in batch.items() if k != "meta"}, mesh)
+                state, metrics = step_fn(state, device_batch)
+                step += 1
+                if step % args.log_every_n_steps == 0:
+                    loss = float(metrics["loss"])
+                    dt = time.perf_counter() - t0
+                    print(f"step {step}/{max_steps} loss={loss:.4f} "
+                          f"({step / dt:.2f} it/s)")
+                if args.val_dataset and step % args.val_every_n_steps == 0:
+                    results = run_validation(model, state, dm)
+                    for name, m in results.items():
+                        print(f"  val {name}: epe={m.get('epe', -1):.4f}")
+                    main_name = dm.val_dataset_names[0]
+                    key = next((v for k, v in DATASET_MAIN_METRIC.items()
+                                if k in main_name), "epe")
+                    score = results[main_name].get(key, float("inf"))
+                    if score < best_val:
+                        best_val = score
+                        save_orbax(str(ckpt_dir / "best"), nn.merge_params(
+                            state.params, state.state))
+                        print(f"  new best {key}={score:.4f} -> saved")
+
+    save_orbax(str(ckpt_dir / "last"), nn.merge_params(state.params,
+                                                       state.state))
+    with open(ckpt_dir / "train_info.json", "w") as f:
+        json.dump({"model": model_name, "steps": step, "lr": lr,
+                   "best_val": best_val}, f)
+    print(f"done; checkpoints in {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()
