@@ -1,0 +1,108 @@
+"""End-to-end script tests over dummy datasets (reference strategy:
+tests/test_validate.py, test_infer.py, test_test.py)."""
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from ptlflow_tpu.data import dummy_datasets
+
+
+@pytest.fixture(scope="module")
+def sintel_cfg(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("scripts")
+    roots = {
+        "mpi_sintel": str(dummy_datasets.write_sintel(
+            tmp_path, n_seqs=1, n_frames=2, size=(128, 128))),
+        "kitti_2015": str(dummy_datasets.write_kitti(
+            tmp_path, n=1, size=(128, 128))),
+    }
+    cfg = tmp_path / "datasets.yaml"
+    cfg.write_text(yaml.safe_dump(roots))
+    return tmp_path, cfg
+
+
+def test_validate_script(sintel_cfg):
+    import validate as validate_mod
+
+    tmp_path, cfg = sintel_cfg
+    args = argparse.Namespace(
+        model="raft_small", ckpt_path=None, config=None,
+        set=[f"data.dataset_config_path={cfg}"],
+        val_dataset="sintel-clean-trainval", warm_start=False,
+        output_path=str(tmp_path / "out_validate"), write_outputs=True,
+        scale_factor=None, max_forward_side=None, iters=None, max_samples=2,
+        all=False, select=None, exclude=None)
+    import ptlflow_tpu
+
+    model = ptlflow_tpu.get_model("raft_small", args={"iters": 2})
+    model.init_params()
+    metrics = validate_mod.validate(args, model=model,
+                                    model_name="raft_small")
+    assert "sintel-clean-trainval" in metrics
+    m = metrics["sintel-clean-trainval"]
+    assert np.isfinite(m["epe"])
+    out_dir = tmp_path / "out_validate" / "raft_small"
+    assert (out_dir / "metrics.csv").exists()
+    assert list((out_dir / "sintel-clean-trainval").glob("*.flo"))
+    assert list((out_dir / "sintel-clean-trainval").glob("*_viz.png"))
+
+
+def test_infer_script(sintel_cfg, tmp_path):
+    import infer as infer_mod
+
+    tmp, _ = sintel_cfg
+    seq_dir = (Path(tmp) / "MPI-Sintel" / "training" / "clean").glob("*")
+    seq_dir = sorted(seq_dir)[0]
+    frames = sorted(seq_dir.glob("*.png"))[:2]
+    args = argparse.Namespace(
+        model="raft_small", ckpt_path=None, config=None,
+        set=["model.init_args.iters=2"],
+        input_path=[str(frames[0]), str(frames[1])],
+        output_path=str(tmp_path / "out_infer"), flow_format="flo",
+        gt_path=None, scale_factor=None, max_forward_side=None,
+        write_viz=True)
+    infer_mod.infer(args)
+    out = tmp_path / "out_infer"
+    assert list(out.glob("*.flo"))
+    assert list(out.glob("*_viz.png"))
+
+
+def test_test_script_sintel_submission(sintel_cfg, tmp_path, monkeypatch):
+    import test as test_mod
+
+    tmp, cfg = sintel_cfg
+    monkeypatch.setattr(
+        sys, "argv",
+        ["test.py", "--model", "raft_small",
+         "--set", f"data.dataset_config_path={cfg}",
+         "model.init_args.iters=2",
+         "--test_dataset", "sintel-clean-test",
+         "--output_path", str(tmp_path / "out_test"),
+         "--max_samples", "1"])
+    test_mod.main()
+    flos = list((tmp_path / "out_test").rglob("*.flo"))
+    assert flos, "no sintel submission files written"
+
+
+def test_summary_metrics_script(sintel_cfg, tmp_path):
+    import csv
+
+    import summary_metrics as sm
+
+    out = tmp_path / "val" / "raft_small"
+    out.mkdir(parents=True)
+    with open(out / "metrics.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["model", "checkpoint", "dataset", "epe", "px1"])
+        w.writerow(["raft_small", "things", "sintel-clean", "1.5", "0.9"])
+        w.writerow(["raft_small", "things", "kitti-2015", "3.0", "0.7"])
+    written = sm.summarize(str(tmp_path / "val"), str(tmp_path / "sum"),
+                           ["epe", "px1"])
+    assert "epe" in written and written["epe"].exists()
