@@ -48,6 +48,31 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray,
     return up.astype(flow.dtype)
 
 
+def convex_upsample_data(flow: jnp.ndarray, info: jnp.ndarray,
+                         mask: jnp.ndarray, factor: int = 8):
+    """SEA-RAFT variant: convex-upsample flow (scaled by factor) and an
+    auxiliary info map (unscaled) with one shared mask
+    (reference SEARAFT.upsample_data, sea_raft.py:146-163)."""
+    b, h, w, _ = flow.shape
+    f = factor
+    m = mask.reshape(b, h, w, 9, f * f).astype(jnp.float32)
+    m = jax.nn.softmax(m, axis=3)
+
+    def up(x, scale):
+        xs = (x * scale).astype(jnp.float32)
+        xp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        neigh = jnp.stack([xp[:, dy:dy + h, dx:dx + w, :]
+                           for dy in (0, 1, 2) for dx in (0, 1, 2)], axis=3)
+        out = jnp.einsum("bhwks,bhwkc->bhwsc", m, neigh,
+                         preferred_element_type=jnp.float32)
+        c = x.shape[-1]
+        out = out.reshape(b, h, w, f, f, c)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, f * h, f * w, c)
+        return out.astype(x.dtype)
+
+    return up(flow, f), up(info, 1.0)
+
+
 def upflow(flow: jnp.ndarray, factor: int = 8,
            mode: str = "bilinear") -> jnp.ndarray:
     """Bilinear (align_corners=True) upsample with flow magnitude scaling."""
