@@ -35,7 +35,11 @@ def _pair(v: IntOr2) -> Tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 relu = jax.nn.relu
-gelu = jax.nn.gelu
+
+
+def gelu(x):
+    # exact erf formulation — torch nn.GELU's default
+    return jax.nn.gelu(x, approximate=False)
 sigmoid = jax.nn.sigmoid
 tanh = jnp.tanh
 silu = jax.nn.silu
