@@ -1,0 +1,81 @@
+"""Training observability: scalar + image logging.
+
+Replaces the reference LoggerCallback
+(/root/reference/ptlflow/utils/callbacks/logger.py:56-460): collects N
+uniformly-sampled validation images per epoch and renders
+image/flow-RGB/EPE-map grids to TensorBoard.  Backend is tensorboard
+(the only logger baked into this environment); the writer API is kept
+behind ``ScalarLogger``/``ImageLogger`` so W&B/Comet adapters can slot in.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from .flow_viz import flow_to_rgb
+
+
+class TensorBoardLogger:
+    def __init__(self, log_dir: str):
+        from torch.utils.tensorboard import SummaryWriter
+
+        Path(log_dir).mkdir(parents=True, exist_ok=True)
+        self.writer = SummaryWriter(log_dir=log_dir)
+
+    def log_scalars(self, scalars: Dict[str, float], step: int):
+        for k, v in scalars.items():
+            self.writer.add_scalar(k, float(v), step)
+
+    def log_image(self, tag: str, image_hwc: np.ndarray, step: int):
+        self.writer.add_image(tag, image_hwc, step, dataformats="HWC")
+
+    def flush(self):
+        self.writer.flush()
+
+    def close(self):
+        self.writer.close()
+
+
+def make_flow_grid(image_bgr: np.ndarray, pred_flow: np.ndarray,
+                   gt_flow: Optional[np.ndarray] = None,
+                   max_height: int = 400) -> np.ndarray:
+    """Stacked visualization: image / pred flow / gt flow / EPE map
+    (reference LoggerCallback._make_image_grid, logger.py:428-460).
+
+    image_bgr: (H, W, 3) in [0, 1]; flows: (H, W, 2).
+    """
+    rows = [np.clip(image_bgr[..., ::-1] * 255, 0, 255).astype(np.uint8)]
+    max_radius = None
+    if gt_flow is not None:
+        valid = ~np.isnan(gt_flow[..., 0])
+        if valid.any():
+            max_radius = float(np.nanmax(
+                np.linalg.norm(np.nan_to_num(gt_flow), axis=-1)))
+    rows.append(flow_to_rgb(pred_flow, flow_max_radius=max_radius))
+    if gt_flow is not None:
+        rows.append(flow_to_rgb(gt_flow, flow_max_radius=max_radius))
+        epe = np.linalg.norm(pred_flow - np.nan_to_num(gt_flow), axis=-1)
+        epe = np.clip(epe / 5.0, 0, 1)
+        epe_rgb = (np.stack([epe, epe, epe], axis=-1) * 255).astype(np.uint8)
+        rows.append(epe_rgb)
+    grid = np.concatenate(rows, axis=0)
+    if grid.shape[0] > max_height * len(rows):
+        stride = int(np.ceil(grid.shape[0] / (max_height * len(rows))))
+        grid = grid[::stride, ::stride]
+    return grid
+
+
+class ImageSampler:
+    """Uniformly sample up to N batches per epoch for image logging
+    (logger.py:100-132)."""
+
+    def __init__(self, num_images: int = 5, epoch_size: int = 1000):
+        self.num_images = num_images
+        self.stride = max(epoch_size // max(num_images, 1), 1)
+
+    def should_log(self, batch_idx: int) -> bool:
+        return batch_idx % self.stride == 0 and \
+            batch_idx // self.stride < self.num_images
