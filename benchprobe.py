@@ -1,4 +1,6 @@
 import time, numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import ptlflow_tpu
 from ptlflow_tpu import nn
 
@@ -29,7 +31,7 @@ def timeit(name, fn, *args):
 
 fwd = lambda p, x: model.forward(p, x, training=False)
 
-for b in (1, 2, 4):
+for b in (1, 4):
     imgs = jnp.asarray(rng.rand(b, 2, 3, H, W).astype(np.float32))
     timeit(f"fp32 batch{b}", fwd, model.params, imgs)
 

@@ -1,7 +1,9 @@
 from .datasets import (
-    BaseFlowDataset, FlyingChairsDataset, FlyingChairs2Dataset,
-    FlyingThings3DDataset, Hd1kDataset, KittiDataset, MiddleburyDataset,
-    SintelDataset, SpringDataset,
+    BaseFlowDataset, AutoFlowDataset, FlyingChairsDataset,
+    FlyingChairs2Dataset, FlyingThings3DDataset,
+    FlyingThings3DSubsetDataset, Hd1kDataset, KittiDataset, KubricDataset,
+    MiddleburyDataset, MiddleburySTDataset, MonkaaDataset, SintelDataset,
+    SpringDataset, TartanAirDataset, ViperDataset,
 )
 from .datamodule import (
     FlowDataModule, SimpleLoader, ConcatDataset, RepeatedDataset,

@@ -27,9 +27,11 @@ import yaml
 
 from . import transforms as ft
 from .datasets import (
-    BaseFlowDataset, FlyingChairsDataset, FlyingChairs2Dataset,
-    FlyingThings3DDataset, Hd1kDataset, KittiDataset, MiddleburyDataset,
-    SintelDataset, SpringDataset,
+    BaseFlowDataset, AutoFlowDataset, FlyingChairsDataset,
+    FlyingChairs2Dataset, FlyingThings3DDataset,
+    FlyingThings3DSubsetDataset, Hd1kDataset, KittiDataset, KubricDataset,
+    MiddleburyDataset, MiddleburySTDataset, MonkaaDataset, SintelDataset,
+    SpringDataset, TartanAirDataset, ViperDataset,
 )
 
 
@@ -432,6 +434,91 @@ class FlowDataModule:
 
     def _get_middlebury_dataset(self, is_train: bool, *args):
         return MiddleburyDataset(self.middlebury_root_dir)
+
+    def _get_autoflow_dataset(self, is_train: bool, *args):
+        split = "trainval"
+        for v in args:
+            if v in ("train", "val", "trainval"):
+                split = v
+        if is_train:
+            cy, cx = self._crop((368, 496))
+            transform = ft.Compose([
+                ft.RandomScaleAndCrop((cy, cx), (-0.1, 1.0), (-0.2, 0.2)),
+                ft.ColorJitter(0.4, 0.4, 0.4, 0.5 / 3.14, 0.2),
+                ft.GaussianNoise(0.02),
+                ft.RandomPatchEraser(0.5, ((50, 100), (50, 100)), 3, "mean"),
+                ft.RandomFlip(0.5, 0.1),
+            ])
+        else:
+            transform = None
+        return AutoFlowDataset(self.autoflow_root_dir, split=split,
+                               transform=transform)
+
+    def _get_things_subset_dataset(self, is_train: bool, *args):
+        pass_names = ["clean"]
+        split = "train"
+        seq_kw, rest = self._seq_args(args)
+        for v in rest:
+            if v in ("clean", "final"):
+                pass_names = [v]
+            elif v in ("train", "val", "trainval"):
+                split = v
+        if is_train:
+            cy, cx = self._crop((400, 720))
+            transform = ft.Compose([
+                ft.RandomScaleAndCrop((cy, cx), (-0.4, 0.8), (-0.2, 0.2)),
+                ft.ColorJitter(0.4, 0.4, 0.4, 0.5 / 3.14, 0.2),
+                ft.GaussianNoise(0.02),
+                ft.RandomPatchEraser(0.5, ((50, 100), (50, 100)), 3, "mean"),
+                ft.RandomFlip(0.5, 0.1),
+            ])
+        else:
+            transform = None
+        return FlyingThings3DSubsetDataset(
+            self.flying_things3d_subset_root_dir, split=split,
+            pass_names=pass_names, transform=transform, **seq_kw)
+
+    def _get_tartanair_dataset(self, is_train: bool, *args):
+        seq_kw, rest = self._seq_args(args)
+        difficulties = [v for v in rest if v in ("Easy", "Hard")] or ["Easy"]
+        transform = None
+        if is_train:
+            cy, cx = self._crop((360, 480))
+            transform = ft.Compose([
+                ft.RandomScaleAndCrop((cy, cx), (-0.2, 0.6), (-0.2, 0.2)),
+                ft.ColorJitter(0.4, 0.4, 0.4, 0.5 / 3.14, 0.2),
+                ft.RandomFlip(0.5, 0.1),
+            ])
+        return TartanAirDataset(self.tartanair_root_dir,
+                                difficulties=difficulties,
+                                transform=transform, **seq_kw)
+
+    def _get_kubric_dataset(self, is_train: bool, *args):
+        seq_kw, rest = self._seq_args(args)
+        get_backward = "back" in rest
+        max_seq = None
+        for v in rest:
+            if isinstance(v, str) and v.startswith("maxseq"):
+                max_seq = int(v.split("_")[1])
+        return KubricDataset(self.kubric_root_dir, get_backward=get_backward,
+                             max_seq=max_seq, **seq_kw)
+
+    def _get_monkaa_dataset(self, is_train: bool, *args):
+        seq_kw, rest = self._seq_args(args)
+        pass_names = [v for v in rest if v in ("clean", "final")] or ["clean"]
+        side_names = [v for v in rest if v in ("left", "right")] or ["left"]
+        return MonkaaDataset(self.monkaa_root_dir, pass_names=pass_names,
+                             side_names=side_names, **seq_kw)
+
+    def _get_middlebury_st_dataset(self, is_train: bool, *args):
+        return MiddleburySTDataset(self.middlebury_st_root_dir)
+
+    def _get_viper_dataset(self, is_train: bool, *args):
+        split = "train"
+        for v in args:
+            if v in ("train", "val", "test"):
+                split = v
+        return ViperDataset(self.viper_root_dir, split=split)
 
     def _get_sintel_finetune_dataset(self, is_train: bool, *args):
         """The canonical RAFT sintel-finetune mixture

@@ -564,6 +564,355 @@ class SpringDataset(BaseFlowDataset):
         return flows, valids
 
 
+class FlyingThings3DSubsetDataset(BaseFlowDataset):
+    """FlyingThings3D subset (reference datasets.py:977-1240):
+    <split>/flow/<side>/<direction>/*.flo grouped by consecutive frame
+    index, images at <split>/image_<pass>/<side>/NNNNNNN.png, optional
+    flow_occlusions/motion_boundaries, optional reverse + backward."""
+
+    def __init__(self, root_dir: str, split: str = "train",
+                 pass_names: Union[str, Sequence[str]] = "clean",
+                 side_names: Union[str, Sequence[str]] = "left",
+                 add_reverse: bool = True, transform=None,
+                 max_flow: float = 1000.0, get_valid_mask: bool = True,
+                 get_occlusion_mask: bool = True,
+                 get_motion_boundary_mask: bool = True,
+                 get_backward: bool = True, get_meta: bool = True,
+                 sequence_length: int = 2, sequence_position: str = "first"):
+        if isinstance(pass_names, str):
+            pass_names = [pass_names]
+        if isinstance(side_names, str):
+            side_names = [side_names]
+        super().__init__(dataset_name="FlyingThings3DSubset",
+                         split_name=split, transform=transform,
+                         max_flow=max_flow, get_valid_mask=get_valid_mask,
+                         get_occlusion_mask=get_occlusion_mask,
+                         get_motion_boundary_mask=get_motion_boundary_mask,
+                         get_backward=get_backward, get_meta=get_meta)
+        root = Path(root_dir)
+        split_dirs = [split] if split in ("train", "val") else ["train", "val"]
+        directions = [("into_future", "into_past", False)]
+        if add_reverse:
+            directions.append(("into_past", "into_future", True))
+
+        def group_flows(flow_dir, rev):
+            flow_paths = sorted(flow_dir.glob("*.flo"), reverse=rev)
+            if not flow_paths:
+                return []
+            groups = [[flow_paths[0]]]
+            prev = int(flow_paths[0].stem)
+            for p in flow_paths[1:]:
+                idx = int(p.stem)
+                if abs(idx - prev) == 1:
+                    groups[-1].append(p)
+                else:
+                    groups.append([p])
+                prev = idx
+            return groups
+
+        for sp in split_dirs:
+            has_occ = (root / sp / "flow_occlusions").exists()
+            has_mb = (root / sp / "motion_boundaries").exists()
+            for pass_name in pass_names:
+                for side in side_names:
+                    for fwd_dir, bwd_dir, rev in directions:
+                        flow_dir = root / sp / "flow" / side / fwd_dir
+                        if not flow_dir.exists():
+                            continue
+                        for flow_group in group_flows(flow_dir, rev):
+                            flow_group = self._extend_paths_list(
+                                flow_group, sequence_length,
+                                sequence_position)
+                            step = (sequence_length - 1) \
+                                if sequence_position == "all" else 1
+                            for i in range(
+                                    0, len(flow_group) - sequence_length + 2,
+                                    step):
+                                fl = flow_group[i:i + sequence_length - 1]
+                                self.flow_paths.append([str(p) for p in fl])
+                                img_dir = (root / sp / f"image_{pass_name}" /
+                                           side)
+                                img_paths = [img_dir / (p.stem + ".png")
+                                             for p in fl]
+                                idx = int(img_paths[0].stem) - 1 if rev \
+                                    else int(img_paths[-1].stem) + 1
+                                img_paths.append(img_dir / f"{idx:07d}.png")
+                                self.img_paths.append(
+                                    [str(p) for p in img_paths])
+                                if has_occ:
+                                    self.occ_paths.append(
+                                        [str(p).replace("flow",
+                                                        "flow_occlusions")
+                                         .replace(".flo", ".png")
+                                         for p in fl])
+                                if has_mb:
+                                    self.mb_paths.append(
+                                        [str(p).replace(
+                                            "flow", "motion_boundaries")
+                                         .replace(".flo", ".png")
+                                         for p in fl])
+                                self.metadata.append({
+                                    "image_paths":
+                                        [str(p) for p in img_paths],
+                                    "is_val": sp == "val", "misc": "",
+                                    "is_seq_start": i == 0})
+                        if get_backward:
+                            bdir = root / sp / "flow" / side / bwd_dir
+                            if not bdir.exists():
+                                continue
+                            for flow_group in group_flows(bdir, rev):
+                                flow_group = self._extend_paths_list(
+                                    flow_group, sequence_length,
+                                    sequence_position)
+                                for i in range(
+                                        len(flow_group) - sequence_length
+                                        + 2):
+                                    fl = flow_group[i:i + sequence_length - 1]
+                                    self.flow_b_paths.append(
+                                        [str(p) for p in fl])
+
+
+class AutoFlowDataset(BaseFlowDataset):
+    """AutoFlow (reference datasets.py:290-378): static_40k_png_i_of_4 parts,
+    im0/im1/forward.flo per sample dir, AutoFlow_val.txt split."""
+
+    def __init__(self, root_dir: str, split: str = "train", transform=None,
+                 max_flow: float = 10000.0, get_valid_mask: bool = True,
+                 get_meta: bool = True):
+        super().__init__(dataset_name="AutoFlow", split_name=split,
+                         transform=transform, max_flow=max_flow,
+                         get_valid_mask=get_valid_mask,
+                         get_occlusion_mask=False,
+                         get_motion_boundary_mask=False, get_backward=False,
+                         get_meta=get_meta)
+        root = Path(root_dir)
+        sample_paths = []
+        for i in range(4):
+            pdir = root / f"static_40k_png_{i + 1}_of_4"
+            if pdir.exists():
+                sample_paths.extend(p for p in sorted(pdir.glob("*"))
+                                    if p.is_dir())
+        val_names = set(_read_split_file("AutoFlow_val.txt"))
+        for p in sample_paths:
+            is_val = p.stem in val_names
+            if split == "train" and is_val:
+                continue
+            if split == "val" and not is_val:
+                continue
+            self.img_paths.append([str(p / "im0.png"), str(p / "im1.png")])
+            self.flow_paths.append([str(p / "forward.flo")])
+            self.metadata.append({
+                "image_paths": self.img_paths[-1], "is_val": is_val,
+                "misc": p.stem, "is_seq_start": True})
+
+
+class TartanAirDataset(BaseFlowDataset):
+    """TartanAir (reference datasets.py:1967-2102): <seq>/<difficulty>/
+    <trajectory>/image_left/*.png + flow/*_flow.npy."""
+
+    def __init__(self, root_dir: str,
+                 difficulties: Union[str, Sequence[str]] = ("Easy",),
+                 transform=None, max_flow: float = 10000.0,
+                 get_valid_mask: bool = True, get_meta: bool = True,
+                 sequence_length: int = 2, sequence_position: str = "first"):
+        if isinstance(difficulties, str):
+            difficulties = [difficulties]
+        super().__init__(dataset_name="TartanAir", split_name="trainval",
+                         transform=transform, max_flow=max_flow,
+                         get_valid_mask=get_valid_mask,
+                         get_occlusion_mask=False,
+                         get_motion_boundary_mask=False, get_backward=False,
+                         get_meta=get_meta)
+        root = Path(root_dir)
+        for seq_path in sorted(p for p in root.glob("*") if p.is_dir()):
+            for diff in difficulties:
+                if not (seq_path / diff).exists():
+                    continue
+                for traj in sorted(p for p in (seq_path / diff).glob("*")
+                                   if p.is_dir()):
+                    imgs = sorted((traj / "image_left").glob("*.png"))
+                    flows = sorted((traj / "flow").glob("*_flow.npy"))
+                    if len(imgs) - 1 != len(flows):
+                        continue
+                    imgs = self._extend_paths_list(
+                        list(imgs), sequence_length, sequence_position)
+                    flows = self._extend_paths_list(
+                        list(flows), sequence_length, sequence_position)
+                    for i in range(len(imgs) - sequence_length + 1):
+                        self.img_paths.append(
+                            [str(p) for p in imgs[i:i + sequence_length]])
+                        self.flow_paths.append(
+                            [str(p) for p in
+                             flows[i:i + sequence_length - 1]])
+                        self.metadata.append({
+                            "image_paths": self.img_paths[-1],
+                            "is_val": False,
+                            "misc": f"{seq_path.name}_{diff}_{traj.name}",
+                            "is_seq_start": i == 0})
+
+
+class MonkaaDataset(BaseFlowDataset):
+    """Monkaa (reference datasets.py:2270-2447): frames_{clean,final}pass
+    sequences with pfm optical_flow, left/right sides."""
+
+    def __init__(self, root_dir: str,
+                 pass_names: Union[str, Sequence[str]] = "clean",
+                 side_names: Union[str, Sequence[str]] = "left",
+                 transform=None, max_flow: float = 10000.0,
+                 get_valid_mask: bool = True, get_meta: bool = True,
+                 sequence_length: int = 2, sequence_position: str = "first"):
+        if isinstance(pass_names, str):
+            pass_names = [pass_names]
+        if isinstance(side_names, str):
+            side_names = [side_names]
+        super().__init__(dataset_name="Monkaa", split_name="trainval",
+                         transform=transform, max_flow=max_flow,
+                         get_valid_mask=get_valid_mask,
+                         get_occlusion_mask=False,
+                         get_motion_boundary_mask=False, get_backward=False,
+                         get_meta=get_meta)
+        root = Path(root_dir)
+        for pass_name in pass_names:
+            passd = f"frames_{pass_name}pass"
+            pass_path = root / passd
+            if not pass_path.exists():
+                continue
+            for seq_path in sorted(pass_path.glob("*")):
+                for side in side_names:
+                    imgs = sorted((seq_path / side).glob("*.png"))
+                    flow_dir = (root / "optical_flow" / seq_path.name /
+                                "into_future" / side)
+                    flows = sorted(flow_dir.glob("*.pfm"))
+                    if not flows or len(imgs) < sequence_length:
+                        continue
+                    imgs = self._extend_paths_list(
+                        list(imgs), sequence_length, sequence_position)
+                    flows = self._extend_paths_list(
+                        list(flows), sequence_length, sequence_position)
+                    for i in range(min(len(imgs) - sequence_length + 1,
+                                       len(flows) - sequence_length + 2)):
+                        self.img_paths.append(
+                            [str(p) for p in imgs[i:i + sequence_length]])
+                        self.flow_paths.append(
+                            [str(p) for p in
+                             flows[i:i + sequence_length - 1]])
+                        self.metadata.append({
+                            "image_paths": self.img_paths[-1],
+                            "is_val": False,
+                            "misc": f"{seq_path.name}_{side}",
+                            "is_seq_start": i == 0})
+
+
+class KubricDataset(BaseFlowDataset):
+    """Kubric (reference datasets.py:2447-2559): per-sequence dirs with
+    rgba_*.png + forward/backward_flow_*.png scaled by data_ranges.json."""
+
+    def __init__(self, root_dir: str, transform=None,
+                 max_flow: float = 10000.0, get_valid_mask: bool = True,
+                 get_backward: bool = False, get_meta: bool = True,
+                 sequence_length: int = 2, sequence_position: str = "first",
+                 max_seq: Optional[int] = None):
+        super().__init__(dataset_name="Kubric", split_name="trainval",
+                         transform=transform, max_flow=max_flow,
+                         get_valid_mask=get_valid_mask,
+                         get_occlusion_mask=False,
+                         get_motion_boundary_mask=False,
+                         get_backward=get_backward, get_meta=get_meta)
+        self.flow_format = "kubric_png"
+        root = Path(root_dir)
+        seq_dirs = sorted(p for p in root.glob("*") if p.is_dir())
+        if max_seq is not None:
+            seq_dirs = seq_dirs[:max_seq]
+        for seq_dir in seq_dirs:
+            imgs = sorted(seq_dir.glob("rgba_*.png"))
+            flows = sorted(seq_dir.glob("forward_flow_*.png"))[:-1]
+            if len(imgs) - 1 != len(flows):
+                continue
+            imgs = self._extend_paths_list(
+                list(imgs), sequence_length, sequence_position)
+            flows = self._extend_paths_list(
+                list(flows), sequence_length, sequence_position)
+            bflows = sorted(seq_dir.glob("backward_flow_*.png"))[1:]
+            for i in range(len(imgs) - sequence_length + 1):
+                self.img_paths.append(
+                    [str(p) for p in imgs[i:i + sequence_length]])
+                self.flow_paths.append(
+                    [(str(p), "forward_flow") for p in
+                     flows[i:i + sequence_length - 1]])
+                if get_backward and bflows:
+                    self.flow_b_paths.append(
+                        [(str(p), "backward_flow") for p in
+                         bflows[i:i + sequence_length - 1]])
+                self.metadata.append({
+                    "image_paths": self.img_paths[-1], "is_val": False,
+                    "misc": seq_dir.name, "is_seq_start": i == 0})
+
+
+class ViperDataset(BaseFlowDataset):
+    """VIPER (reference datasets.py:2559-2650): <split>/img/<seq>/*.png +
+    <split>/flow/<seq>/*.npz."""
+
+    def __init__(self, root_dir: str, split: str = "train", transform=None,
+                 max_flow: float = 10000.0, get_valid_mask: bool = True,
+                 get_meta: bool = True):
+        super().__init__(dataset_name="Viper", split_name=split,
+                         transform=transform, max_flow=max_flow,
+                         get_valid_mask=get_valid_mask,
+                         get_occlusion_mask=False,
+                         get_motion_boundary_mask=False, get_backward=False,
+                         get_meta=get_meta)
+        self.flow_format = "viper_npz"
+        root = Path(root_dir)
+        img_root = root / split / "img"
+        flow_root = root / split / "flow"
+        if not img_root.exists():
+            return
+        for seq_dir in sorted(p for p in img_root.glob("*") if p.is_dir()):
+            seq = seq_dir.name
+            if not (flow_root / seq).exists():
+                continue
+            for fpath in sorted((flow_root / seq).glob("*.npz")):
+                idx = int(fpath.stem.split("_")[1])
+                img1 = seq_dir / f"{seq}_{idx:05d}.png"
+                img2 = seq_dir / f"{seq}_{idx + 1:05d}.png"
+                if not (img1.exists() and img2.exists()):
+                    continue
+                self.img_paths.append([str(img1), str(img2)])
+                self.flow_paths.append([str(fpath)])
+                self.metadata.append({
+                    "image_paths": self.img_paths[-1], "is_val": False,
+                    "misc": seq, "is_seq_start": True})
+
+
+class MiddleburySTDataset(BaseFlowDataset):
+    """Middlebury-ST (reference datasets.py:2200-2270): stereo pairs whose
+    'flow' is the two-file negated disparity (disp0.pfm, disp0y.pfm)."""
+
+    def __init__(self, root_dir: str, transform=None,
+                 max_flow: float = 10000.0, get_valid_mask: bool = True,
+                 get_meta: bool = True):
+        super().__init__(dataset_name="MiddleburyST", split_name="trainval",
+                         transform=transform, max_flow=max_flow,
+                         get_valid_mask=get_valid_mask,
+                         get_occlusion_mask=False,
+                         get_motion_boundary_mask=False, get_backward=False,
+                         get_meta=get_meta)
+        self.is_two_file_flow = True
+        root = Path(root_dir)
+        for seq_dir in sorted(p for p in root.glob("*") if p.is_dir()):
+            im0 = seq_dir / "im0.png"
+            im1 = seq_dir / "im1.png"
+            d0 = seq_dir / "disp0.pfm"
+            d0y = seq_dir / "disp0y.pfm"
+            if not all(p.exists() for p in (im0, im1, d0, d0y)):
+                continue
+            self.img_paths.append([str(im0), str(im1)])
+            self.flow_paths.append([(str(d0), str(d0y))])
+            self.metadata.append({
+                "image_paths": self.img_paths[-1], "is_val": False,
+                "misc": seq_dir.name, "is_seq_start": True})
+
+
 class MiddleburyDataset(BaseFlowDataset):
     """Middlebury training set (reference datasets.py:2102-2200)."""
 

@@ -200,6 +200,142 @@ def write_spring(root: Path, n_seqs: int = 1, n_frames: int = 3,
     return root
 
 
+def write_autoflow(root: Path, n: int = 3, size=(96, 128), seed=0):
+    import cv2 as cv
+
+    rng = np.random.RandomState(seed)
+    root = Path(root) / "autoflow"
+    part = root / "static_40k_png_1_of_4"
+    for i in range(n):
+        d = part / f"sample_{i:05d}"
+        d.mkdir(parents=True, exist_ok=True)
+        cv.imwrite(str(d / "im0.png"), _rand_img(rng, *size))
+        cv.imwrite(str(d / "im1.png"), _rand_img(rng, *size))
+        flow_io.write_flo(d / "forward.flo", _rand_flow(rng, *size))
+    return root
+
+
+def write_things_subset(root: Path, n_frames: int = 4, size=(96, 128),
+                        seed=0):
+    import cv2 as cv
+
+    rng = np.random.RandomState(seed)
+    root = Path(root) / "FlyingThings3D_subset"
+    for split in ("train", "val"):
+        for side in ("left",):
+            img_dir = root / split / "image_clean" / side
+            ff_dir = root / split / "flow" / side / "into_future"
+            fb_dir = root / split / "flow" / side / "into_past"
+            occ_dir = root / split / "flow_occlusions" / side / "into_future"
+            for d in (img_dir, ff_dir, fb_dir, occ_dir):
+                d.mkdir(parents=True, exist_ok=True)
+            for f in range(n_frames):
+                cv.imwrite(str(img_dir / f"{f:07d}.png"),
+                           _rand_img(rng, *size))
+                if f < n_frames - 1:
+                    flow_io.write_flo(ff_dir / f"{f:07d}.flo",
+                                      _rand_flow(rng, *size))
+                    cv.imwrite(str(occ_dir / f"{f:07d}.png"),
+                               rng.randint(0, 2, size, dtype=np.uint8) * 255)
+                if f > 0:
+                    flow_io.write_flo(fb_dir / f"{f:07d}.flo",
+                                      _rand_flow(rng, *size))
+    return root
+
+
+def write_tartanair(root: Path, n_frames: int = 3, size=(96, 128), seed=0):
+    import cv2 as cv
+
+    rng = np.random.RandomState(seed)
+    root = Path(root) / "tartanair"
+    traj = root / "seasidetown" / "Easy" / "P000"
+    (traj / "image_left").mkdir(parents=True, exist_ok=True)
+    (traj / "flow").mkdir(parents=True, exist_ok=True)
+    for f in range(n_frames):
+        cv.imwrite(str(traj / "image_left" / f"{f:06d}_left.png"),
+                   _rand_img(rng, *size))
+        if f < n_frames - 1:
+            np.save(traj / "flow" / f"{f:06d}_{f + 1:06d}_flow.npy",
+                    _rand_flow(rng, *size))
+    return root
+
+
+def write_kubric(root: Path, n_seqs: int = 1, n_frames: int = 3,
+                 size=(96, 128), seed=0):
+    import cv2 as cv
+    import json
+
+    rng = np.random.RandomState(seed)
+    root = Path(root) / "kubric"
+    for s in range(n_seqs):
+        d = root / f"seq_{s:04d}"
+        d.mkdir(parents=True, exist_ok=True)
+        with open(d / "data_ranges.json", "w") as f:
+            json.dump({"forward_flow": {"min": -20.0, "max": 20.0},
+                       "backward_flow": {"min": -20.0, "max": 20.0}}, f)
+        for f_i in range(n_frames):
+            cv.imwrite(str(d / f"rgba_{f_i:05d}.png"), _rand_img(rng, *size))
+            raw = rng.randint(0, 65535, (size[0], size[1], 3),
+                              dtype=np.uint16)
+            cv.imwrite(str(d / f"forward_flow_{f_i:05d}.png"), raw)
+            cv.imwrite(str(d / f"backward_flow_{f_i:05d}.png"), raw)
+    return root
+
+
+def write_monkaa(root: Path, n_frames: int = 3, size=(96, 128), seed=0):
+    import cv2 as cv
+
+    rng = np.random.RandomState(seed)
+    root = Path(root) / "monkaa"
+    seq = "a_rain_of_stones_x2"
+    (root / "frames_cleanpass" / seq / "left").mkdir(parents=True,
+                                                     exist_ok=True)
+    (root / "optical_flow" / seq / "into_future" / "left").mkdir(
+        parents=True, exist_ok=True)
+    for f in range(n_frames):
+        cv.imwrite(str(root / "frames_cleanpass" / seq / "left" /
+                       f"{f:04d}.png"), _rand_img(rng, *size))
+        flow_io.write_pfm(root / "optical_flow" / seq / "into_future" /
+                          "left" / f"OpticalFlowIntoFuture_{f:04d}_L.pfm",
+                          _rand_flow(rng, *size))
+    return root
+
+
+def write_middlebury_st(root: Path, n_seqs: int = 2, size=(96, 128), seed=0):
+    import cv2 as cv
+
+    rng = np.random.RandomState(seed)
+    root = Path(root) / "MiddleburyST"
+    for s in range(n_seqs):
+        d = root / f"scene{s}"
+        d.mkdir(parents=True, exist_ok=True)
+        cv.imwrite(str(d / "im0.png"), _rand_img(rng, *size))
+        cv.imwrite(str(d / "im1.png"), _rand_img(rng, *size))
+        flow_io.write_pfm(d / "disp0.pfm",
+                          np.abs(_rand_flow(rng, *size)[..., 0]))
+        flow_io.write_pfm(d / "disp0y.pfm",
+                          np.zeros(size, np.float32))
+    return root
+
+
+def write_viper(root: Path, n_frames: int = 3, size=(96, 128), seed=0):
+    import cv2 as cv
+
+    rng = np.random.RandomState(seed)
+    root = Path(root) / "viper"
+    seq = "001"
+    (root / "train" / "img" / seq).mkdir(parents=True, exist_ok=True)
+    (root / "train" / "flow" / seq).mkdir(parents=True, exist_ok=True)
+    for f in range(n_frames):
+        cv.imwrite(str(root / "train" / "img" / seq /
+                       f"{seq}_{f:05d}.png"), _rand_img(rng, *size))
+        if f < n_frames - 1:
+            flow = _rand_flow(rng, *size).astype(np.float16)
+            np.savez(root / "train" / "flow" / seq / f"{seq}_{f:05d}.npz",
+                     u=flow[..., 0], v=flow[..., 1])
+    return root
+
+
 def write_middlebury(root: Path, n_seqs: int = 2, size=(96, 128), seed=0):
     import cv2 as cv
 
