@@ -30,11 +30,16 @@ from ...ops.resize import InputPadder, InputScaler
 
 
 def bgr_val_as_array(val, ndim_ref: int, channel_axis: int = -1):
-    """Broadcastable (1,..,3,..,1) array from scalar/triple BGR values."""
+    """Broadcastable array from scalar/triple/tensor BGR values
+    (reference bgr_val_as_tensor, utils.py:395-453)."""
     if isinstance(val, (int, float)):
         arr = jnp.full((3,), float(val), jnp.float32)
     else:
         arr = jnp.asarray(val, jnp.float32)
+        if arr.ndim > 1:
+            # already shaped compatibly with the images (e.g. per-image
+            # channel means) — use as-is
+            return arr
         assert arr.shape == (3,)
     shape = [1] * ndim_ref
     shape[channel_axis] = 3

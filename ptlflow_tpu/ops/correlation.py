@@ -149,7 +149,8 @@ class CorrBlock:
 def local_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
                       max_displacement: int,
                       coords: Optional[jnp.ndarray] = None,
-                      normalize: bool = True) -> jnp.ndarray:
+                      normalize: bool = True,
+                      dilation: int = 1) -> jnp.ndarray:
     """PWC-style local correlation over a (2d+1)^2 displacement window.
 
     Equivalent to ``iter_(translated_)spatial_correlation_sample`` with
@@ -165,12 +166,16 @@ def local_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
     n = 2 * d + 1
     if coords is None:
         # Pure shifting — XLA handles this as cheap pads/slices.
-        f2pad = jnp.pad(fmap2, ((0, 0), (d, d), (d, d), (0, 0)))
+        # ``dilation`` strides the displacement window (FlowNetC's
+        # dilation_patch=2 correlation, flownet/submodules.py:138-152).
+        pd = d * dilation
+        f2pad = jnp.pad(fmap2, ((0, 0), (pd, pd), (pd, pd), (0, 0)))
         outs = []
         for dy in range(-d, d + 1):
             for dx in range(-d, d + 1):
                 shifted = jax.lax.dynamic_slice(
-                    f2pad, (0, d + dy, d + dx, 0), (b, h, w, c))
+                    f2pad, (0, pd + dy * dilation, pd + dx * dilation, 0),
+                    (b, h, w, c))
                 outs.append(jnp.sum(fmap1 * shifted, axis=-1))
         corr = jnp.stack(outs, axis=-1)
     else:
