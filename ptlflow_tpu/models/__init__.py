@@ -9,3 +9,4 @@ from .pwcnet import pwcnet, pwcnet_nodc  # noqa: F401
 from .flownet import (  # noqa: F401
     flownets, flownetc, flownetsd, flownetcs, flownetcss, flownet2,
 )
+from .skflow import skflow  # noqa: F401
