@@ -1,43 +1,43 @@
 import time, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import ptlflow_tpu
 
 rng = np.random.RandomState(0)
+B, H, W = 1, 440, 1024
+imgs = jnp.asarray(rng.rand(B, 2, 3, H, W).astype(np.float32))
+N = 10
+OVERHEAD_MS = 29.3
 
 
-def timeloop(name, body_fn, init, n):
-    jfn = jax.jit(lambda a: jax.lax.fori_loop(0, n, body_fn, a))
-    r = jfn(init)
-    float(jnp.sum(r) if hasattr(r, 'ndim') else r)
+def timeit(name, model):
+    fwd = lambda p, x: model.forward(p, {"images": x}, training=False)
+
+    def chained(p, x):
+        def body(i, acc):
+            out = fwd(p, x + acc * 1e-30)
+            return acc + jnp.sum(out["flows"][..., :1, :1])
+        return jax.lax.fori_loop(0, N, body, jnp.zeros((), jnp.float32))
+    jfn = jax.jit(chained)
+    float(jfn(model.params, imgs))
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        r = jfn(init)
-        float(jnp.sum(r))
+        float(jfn(model.params, imgs))
         ts.append(time.perf_counter() - t0)
-    print(f"{name}: total {min(ts)*1000:.2f} ms, per-iter {min(ts)/n*1000:.4f} ms")
+    real = (min(ts) * 1000 - OVERHEAD_MS) / N
+    print(f"{name}: {real:.2f} ms real per forward")
+    return real
 
 
-# empty-ish loop: tiny scalar op
-timeloop("empty loop n=100", lambda i, a: a + 1e-9, jnp.zeros(()), 100)
-timeloop("empty loop n=1000", lambda i, a: a + 1e-9, jnp.zeros(()), 1000)
-
-# small vector op loop
-v = jnp.asarray(rng.randn(128, 128).astype(np.float32))
-timeloop("128x128 add n=100", lambda i, a: a * 1.0000001 + 1e-9, v, 100)
-
-# matmul loop
-xm = jnp.asarray(rng.randn(7040, 2560).astype(np.float32))
-wm = jnp.asarray(rng.randn(2560, 128).astype(np.float32) * 0.01)
-state = jnp.zeros((7040, 128))
-timeloop("matmul loop n=50",
-         lambda i, a: a * 1e-30 + jnp.dot(xm + a[0, 0] * 1e-30, wm),
-         state, 50)
-
-# 5 matmuls per iteration
-def body5(i, a):
-    y = a
-    for _ in range(5):
-        y = jnp.dot(xm + y[0, 0] * 1e-30, wm) * 1e-30 + a
-    return y
-timeloop("5x matmul loop n=20", body5, state, 20)
+m1 = ptlflow_tpu.get_model("raft", args={"iters": 1})
+m1.init_params()
+t1 = timeit("iters=1", m1)
+m6 = ptlflow_tpu.get_model("raft", args={"iters": 6})
+m6.params = m1.params
+t6 = timeit("iters=6", m6)
+m12 = ptlflow_tpu.get_model("raft", args={"iters": 12})
+m12.params = m1.params
+t12 = timeit("iters=12", m12)
+print(f"slope per iter: {(t12 - t1) / 11:.3f} ms; intercept: "
+      f"{t1 - (t12 - t1) / 11:.2f} ms")

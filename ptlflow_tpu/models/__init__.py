@@ -10,3 +10,4 @@ from .flownet import (  # noqa: F401
     flownets, flownetc, flownetsd, flownetcs, flownetcss, flownet2,
 )
 from .skflow import skflow  # noqa: F401
+from .csflow import csflow  # noqa: F401

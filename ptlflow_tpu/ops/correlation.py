@@ -116,7 +116,8 @@ def corr_pyramid_lookup(pyramid: Sequence[jnp.ndarray], coords: jnp.ndarray,
     out_pyramid = []
     for i, corr in enumerate(pyramid):
         h2, w2 = corr.shape[1], corr.shape[2]
-        slab = corr.reshape(B, h2, w2)
+        nch = corr.shape[3] if corr.ndim == 4 else 1
+        slab = corr.reshape(B, h2, w2, nch)
         xc = centroid[:, 0] / (2 ** i)
         yc = centroid[:, 1] / (2 ** i)
         x0 = jnp.floor(xc)
@@ -124,12 +125,13 @@ def corr_pyramid_lookup(pyramid: Sequence[jnp.ndarray], coords: jnp.ndarray,
         dt = slab.dtype
         rx = _bilinear_onehot(x0, xc - x0, r, w2, dt)  # (B, n, W2)
         ry = _bilinear_onehot(y0, yc - y0, r, h2, dt)  # (B, n, H2)
-        tmp = jnp.einsum("qby,qyx->qbx", ry, slab,
+        tmp = jnp.einsum("qby,qyxc->qbxc", ry, slab,
                          preferred_element_type=jnp.float32)
-        # out[q, a, b]: first window axis offsets x (the reference quirk)
-        outl = jnp.einsum("qbx,qax->qab", tmp.astype(dt), rx,
+        # out[q, c, a, b]: channel-major; first window axis offsets x (the
+        # reference quirk, corr.py:37-50)
+        outl = jnp.einsum("qbxc,qax->qcab", tmp.astype(dt), rx,
                           preferred_element_type=jnp.float32)
-        out_pyramid.append(outl.reshape(b, h1, w1, n * n).astype(dt))
+        out_pyramid.append(outl.reshape(b, h1, w1, nch * n * n).astype(dt))
     return jnp.concatenate(out_pyramid, axis=-1)
 
 
