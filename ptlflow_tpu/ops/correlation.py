@@ -152,7 +152,8 @@ def local_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
                       max_displacement: int,
                       coords: Optional[jnp.ndarray] = None,
                       normalize: bool = True,
-                      dilation: int = 1) -> jnp.ndarray:
+                      dilation: int = 1,
+                      stride: int = 1) -> jnp.ndarray:
     """PWC-style local correlation over a (2d+1)^2 displacement window.
 
     Equivalent to ``iter_(translated_)spatial_correlation_sample`` with
@@ -180,6 +181,8 @@ def local_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
                     (b, h, w, c))
                 outs.append(jnp.sum(fmap1 * shifted, axis=-1))
         corr = jnp.stack(outs, axis=-1)
+        if stride > 1:  # strided query positions (LiteFlowNet coarse levels)
+            corr = corr[:, ::stride, ::stride]
     else:
         base = coords  # (B, H, W, 2) pixel coords into fmap2
         dr = jnp.arange(-d, d + 1, dtype=base.dtype)
