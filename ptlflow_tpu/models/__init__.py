@@ -12,3 +12,4 @@ from .flownet import (  # noqa: F401
 from .skflow import skflow  # noqa: F401
 from .csflow import csflow  # noqa: F401
 from .liteflownet import liteflownet  # noqa: F401
+from .neuflow import neuflow  # noqa: F401
