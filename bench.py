@@ -16,7 +16,17 @@ BASELINE_FPS = 8.2
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: first compile through the remote-compile
+    # tunnel is very slow (~20 min); cached reruns take seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import ptlflow_tpu
 

@@ -13,3 +13,4 @@ from .skflow import skflow  # noqa: F401
 from .csflow import csflow  # noqa: F401
 from .liteflownet import liteflownet  # noqa: F401
 from .neuflow import neuflow  # noqa: F401
+from .flow1d import flow1d  # noqa: F401
