@@ -14,3 +14,4 @@ from .csflow import csflow  # noqa: F401
 from .liteflownet import liteflownet  # noqa: F401
 from .neuflow import neuflow  # noqa: F401
 from .flow1d import flow1d  # noqa: F401
+from .fastflownet import fastflownet  # noqa: F401

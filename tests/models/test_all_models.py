@@ -1,0 +1,35 @@
+"""Forward sweep over every registered model (reference strategy:
+tests/ptlflow/models/test_models.py:75-144 — instantiate with default args,
+forward a random input at make_divisible(256, output_stride))."""
+
+import numpy as np
+import pytest
+
+import ptlflow_tpu
+from ptlflow_tpu.data.datamodule import make_divisible
+
+# keep CPU runtime bounded: cap iteration counts where models support it
+ARGS_OVERRIDE = {
+    "raft": {"iters": 2}, "raft_small": {"iters": 2}, "gma": {"iters": 2},
+    "sea_raft": {"iters": 1}, "sea_raft_s": {"iters": 1},
+    "sea_raft_m": {"iters": 1}, "sea_raft_l": {"iters": 1},
+    "skflow": {"iters": 2}, "csflow": {"iters": 2},
+    "flow1d": {"iters": 2, "corr_radius": 8},
+}
+
+# models exercised heavily by their own dedicated test files
+SKIP = set()
+
+
+@pytest.mark.parametrize("name", ptlflow_tpu.get_model_names())
+def test_forward_all_models(name):
+    if name in SKIP:
+        pytest.skip("covered elsewhere")
+    model = ptlflow_tpu.get_model(name, args=ARGS_OVERRIDE.get(name, {}))
+    model.init_params()
+    s = make_divisible(256, model.output_stride)
+    rng = np.random.RandomState(42)
+    images = rng.rand(1, 2, 3, s, s).astype(np.float32)
+    out = model({"images": images})
+    assert out["flows"].shape == (1, 1, 2, s, s)
+    assert np.isfinite(np.asarray(out["flows"])).all(), f"{name} NaN output"
