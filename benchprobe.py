@@ -26,18 +26,10 @@ def timeit(name, model):
         float(jfn(model.params, imgs))
         ts.append(time.perf_counter() - t0)
     real = (min(ts) * 1000 - OVERHEAD_MS) / N
-    print(f"{name}: {real:.2f} ms real per forward")
-    return real
+    print(f"{name}: {real:.2f} ms real per forward = {1000/real:.1f} fps")
 
 
-m1 = ptlflow_tpu.get_model("raft", args={"iters": 1})
-m1.init_params()
-t1 = timeit("iters=1", m1)
-m6 = ptlflow_tpu.get_model("raft", args={"iters": 6})
-m6.params = m1.params
-t6 = timeit("iters=6", m6)
-m12 = ptlflow_tpu.get_model("raft", args={"iters": 12})
-m12.params = m1.params
-t12 = timeit("iters=12", m12)
-print(f"slope per iter: {(t12 - t1) / 11:.3f} ms; intercept: "
-      f"{t1 - (t12 - t1) / 11:.2f} ms")
+m = ptlflow_tpu.get_model("raft", args={"iters": 12})
+m.init_params()
+m.scan_unroll = 12
+timeit("raft iters=12 unroll=12", m)

@@ -136,7 +136,8 @@ class RAFT(BaseModel):
 
         mask0 = jnp.zeros((b, h, w, mask_ch if has_mask else 1), fmap1.dtype)
         (net, coords1, last_mask), ys = jax.lax.scan(
-            step, (net, coords1, mask0), None, length=self.iters)
+            step, (net, coords1, mask0), None, length=self.iters,
+            unroll=getattr(self, "scan_unroll", 1))
 
         def upsample(flow_lr, mask):
             if has_mask:
