@@ -153,7 +153,8 @@ class FastFlowNet(BaseModel):
             f1l = p1[lvl]
             f2l = p2[lvl]
             if lvl != "6":
-                flow_up = getattr(self, f"up{lvl}")(params[f"up{lvl}"], flow)
+                up_name = f"up{int(lvl) + 1}"  # deconv from level lvl+1
+                flow_up = getattr(self, up_name)(params[up_name], flow)
                 f2l = self._warp(f2l, flow_up * scales[lvl])
             cv = self._corr(f1l, f2l)
             r1 = rconvs[lvl](params[f"rconv{lvl}"], f1l)
