@@ -1,0 +1,44 @@
+"""train.py end-to-end smoke: a few DP steps over a dummy dataset with
+validation + checkpointing."""
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+import yaml
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from ptlflow_tpu.data import dummy_datasets
+
+
+def test_train_script_smoke(tmp_path, monkeypatch):
+    import train as train_mod
+
+    roots = {"flying_chairs": str(dummy_datasets.write_flying_chairs(
+        tmp_path, n=3, size=(128, 128)))}
+    cfg = tmp_path / "datasets.yaml"
+    cfg.write_text(yaml.safe_dump(roots))
+
+    ckpt_dir = tmp_path / "ckpts"
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "--model", "raft_small",
+        "--set", f"data.dataset_config_path={cfg}",
+        "model.init_args.iters=2", "data.train_num_workers=0",
+        "--train_dataset", "chairs-trainval",
+        "--val_dataset", "chairs-trainval",
+        "--train_batch_size", "1",
+        "--train_crop_size", "128", "128",
+        "--max_steps", "2",
+        "--val_every_n_steps", "2",
+        "--log_every_n_steps", "1",
+        "--n_devices", "1",
+        "--ckpt_dir", str(ckpt_dir)])
+    train_mod.main()
+
+    out = ckpt_dir / "raft_small"
+    assert (out / "last").exists()
+    info = json.loads((out / "train_info.json").read_text())
+    assert info["steps"] == 2
+    assert (out / "index.json").exists()  # top-k index from validation

@@ -22,6 +22,7 @@ from ptlflow_tpu.parallel import (
     make_mesh, make_optimizer, create_train_state, build_train_step,
     shard_batch,
 )
+from ptlflow_tpu.utils.checkpoint_manager import CheckpointManager
 from ptlflow_tpu.utils.ckpt import save_orbax
 from ptlflow_tpu.utils.cli import (add_common_model_args, datamodule_from_cfg,
                                    load_config, model_from_args)
@@ -103,6 +104,11 @@ def main():
 
     ckpt_dir = Path(args.ckpt_dir) / model_name
     ckpt_dir.mkdir(parents=True, exist_ok=True)
+    main_name = dm.val_dataset_names[0] if dm.val_dataset_names else ""
+    main_key = next((v for k, v in DATASET_MAIN_METRIC.items()
+                     if k in main_name), "epe")
+    ckpt_manager = CheckpointManager(str(ckpt_dir), top_k=1,
+                                     monitor=f"val/{main_key}")
     best_val = float("inf")
 
     step = 0
@@ -127,15 +133,13 @@ def main():
                     results = run_validation(model, state, dm)
                     for name, m in results.items():
                         print(f"  val {name}: epe={m.get('epe', -1):.4f}")
-                    main_name = dm.val_dataset_names[0]
-                    key = next((v for k, v in DATASET_MAIN_METRIC.items()
-                                if k in main_name), "epe")
-                    score = results[main_name].get(key, float("inf"))
+                    score = results[main_name].get(main_key, float("inf"))
+                    ckpt_manager.save_step(
+                        nn.merge_params(state.params, state.state), step,
+                        {f"val/{main_key}": score})
                     if score < best_val:
                         best_val = score
-                        save_orbax(str(ckpt_dir / "best"), nn.merge_params(
-                            state.params, state.state))
-                        print(f"  new best {key}={score:.4f} -> saved")
+                        print(f"  new best {main_key}={score:.4f} -> saved")
 
     save_orbax(str(ckpt_dir / "last"), nn.merge_params(state.params,
                                                        state.state))
