@@ -15,3 +15,4 @@ from .liteflownet import liteflownet  # noqa: F401
 from .neuflow import neuflow  # noqa: F401
 from .flow1d import flow1d  # noqa: F401
 from .fastflownet import fastflownet  # noqa: F401
+from .maskflownet import maskflownet, maskflownet_s  # noqa: F401
