@@ -6,10 +6,13 @@ Baseline anchor (BASELINE.md / SURVEY.md §6): reference RAFT fp32 on RTX 3090
 runs 139.294 ms at 500x1000 ≈ 7.18 fps; scaled to 1024x436 pixel count
 (~0.874x) ≈ 8.2 fps reference-class.  vs_baseline = our_fps / 8.2.
 
-Measurement notes: the axon-tunneled backend dispatches asynchronously and
-only host transfers synchronize, so we time N data-dependent chained
-forwards inside one jitted fori_loop that reduces to a scalar, and subtract
-the measured null-dispatch overhead (one tunnel round trip).
+Measurement notes: the axon-tunneled backend dispatches asynchronously
+(``block_until_ready`` returns immediately; only host transfers sync), and
+wrapping the forward in a device-side loop makes the remote compile
+pathologically slow.  So we use the device execution queue itself: enqueue N
+forwards back-to-back, then fetch one scalar reduced from the last output —
+the fetch completes only after the whole queue drains, giving
+N * forward_time + one round trip.
 """
 
 import json
@@ -18,7 +21,7 @@ import time
 import numpy as np
 
 BASELINE_FPS = 8.2
-N_CHAIN = 10
+N_RUNS = 20
 
 
 def main():
@@ -26,8 +29,6 @@ def main():
 
     import jax
 
-    # persistent compile cache: first compile through the remote-compile
-    # tunnel is very slow (~20 min); cached reruns take seconds
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -38,37 +39,36 @@ def main():
 
     model = ptlflow_tpu.get_model("raft", args={"iters": 12})
     model.init_params()
-    model.scan_unroll = 12  # unrolled GRU loop: ~16% faster than scan
+    model.scan_unroll = 12  # unrolled GRU loop: ~16% faster than lax.scan
 
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.rand(1, 2, 3, 436, 1024).astype(np.float32))
 
-    def chained(p, x):
-        def body(i, acc):
-            out = model.forward(p, {"images": x + acc * 1e-30},
-                                training=False)
-            return acc + jnp.sum(out["flows"][..., :1, :1])
-        return jax.lax.fori_loop(0, N_CHAIN, body, jnp.zeros((), jnp.float32))
+    fwd = jax.jit(lambda p, x: model.forward(p, {"images": x},
+                                             training=False)["flows"])
+    summarize = jax.jit(lambda f: jnp.sum(f[..., :1, :1]))
 
-    jfn = jax.jit(chained)
-    float(jfn(model.params, imgs))  # compile + warmup
+    # compile + warmup (sync via scalar fetch)
+    float(summarize(fwd(model.params, imgs)))
 
-    # measured null-dispatch overhead (tunnel round trip)
+    def timed_pass():
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(N_RUNS):
+            out = fwd(model.params, imgs)
+        float(summarize(out))  # drains the device queue
+        return time.perf_counter() - t0
+
+    # measured null round-trip overhead
     null = jax.jit(lambda a: a + 1.0)
     float(null(jnp.zeros(())))
-    null_ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(null(jnp.zeros(())))
-        null_ts.append(time.perf_counter() - t0)
-    overhead = float(np.median(null_ts))
+    overhead = min(
+        (lambda t0=time.perf_counter(): (float(null(jnp.zeros(()))),
+                                         time.perf_counter() - t0)[1])()
+        for _ in range(5))
 
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(jfn(model.params, imgs))
-        ts.append(time.perf_counter() - t0)
-    latency = (min(ts) - overhead) / N_CHAIN
+    total = min(timed_pass() for _ in range(3))
+    latency = (total - overhead) / N_RUNS
     fps = 1.0 / latency
 
     print(json.dumps({
