@@ -17,3 +17,4 @@ from .flow1d import flow1d  # noqa: F401
 from .fastflownet import fastflownet  # noqa: F401
 from .maskflownet import maskflownet, maskflownet_s  # noqa: F401
 from .lcv import lcv_raft, lcv_raft_small  # noqa: F401
+from .flowformer import flowformer  # noqa: F401

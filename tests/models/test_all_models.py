@@ -15,6 +15,7 @@ ARGS_OVERRIDE = {
     "sea_raft_m": {"iters": 1}, "sea_raft_l": {"iters": 1},
     "skflow": {"iters": 2}, "csflow": {"iters": 2},
     "flow1d": {"iters": 2, "corr_radius": 8},
+    "flowformer": {"decoder_depth": 2, "use_tile_input": False},
 }
 
 # models exercised heavily by their own dedicated test files
