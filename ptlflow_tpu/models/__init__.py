@@ -18,3 +18,6 @@ from .fastflownet import fastflownet  # noqa: F401
 from .maskflownet import maskflownet, maskflownet_s  # noqa: F401
 from .lcv import lcv_raft, lcv_raft_small  # noqa: F401
 from .flowformer import flowformer  # noqa: F401
+from .rapidflow import (  # noqa: F401
+    rapidflow, rapidflow_it1, rapidflow_it2, rapidflow_it3, rapidflow_it6,
+)
