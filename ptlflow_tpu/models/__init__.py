@@ -21,3 +21,4 @@ from .flowformer import flowformer  # noqa: F401
 from .rapidflow import (  # noqa: F401
     rapidflow, rapidflow_it1, rapidflow_it2, rapidflow_it3, rapidflow_it6,
 )
+from .rpknet import rpknet  # noqa: F401

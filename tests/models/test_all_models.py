@@ -17,6 +17,7 @@ ARGS_OVERRIDE = {
     "flow1d": {"iters": 2, "corr_radius": 8},
     "flowformer": {"decoder_depth": 2, "use_tile_input": False},
     "rapidflow": {"iters": 3}, "rapidflow_it6": {"iters": 3},
+    "rpknet": {"iters": 3},
 }
 
 # models exercised heavily by their own dedicated test files
