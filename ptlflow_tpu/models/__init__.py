@@ -22,3 +22,4 @@ from .rapidflow import (  # noqa: F401
     rapidflow, rapidflow_it1, rapidflow_it2, rapidflow_it3, rapidflow_it6,
 )
 from .rpknet import rpknet  # noqa: F401
+from .dpflow import dpflow  # noqa: F401

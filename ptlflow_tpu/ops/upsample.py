@@ -25,7 +25,7 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray,
     mask: (B, h, w, 9*f*f) raw logits; channel index c = k*f*f + i*f + j for
     3x3-neighbor k (row-major dy,dx) and subpixel offset (i, j).
     """
-    b, h, w, _ = flow.shape
+    b, h, w, c = flow.shape
     f = factor
     m = mask.reshape(b, h, w, 9, f * f).astype(jnp.float32)
     m = jax.nn.softmax(m, axis=3)
@@ -42,9 +42,9 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray,
     # (B, h, w, f*f, 2)
     up = jnp.einsum("bhwks,bhwkc->bhwsc", m, neigh,
                     preferred_element_type=jnp.float32)
-    up = up.reshape(b, h, w, f, f, 2)
+    up = up.reshape(b, h, w, f, f, c)
     # full-res pixel (f*y + i, f*x + j)
-    up = up.transpose(0, 1, 3, 2, 4, 5).reshape(b, f * h, f * w, 2)
+    up = up.transpose(0, 1, 3, 2, 4, 5).reshape(b, f * h, f * w, c)
     return up.astype(flow.dtype)
 
 
@@ -53,7 +53,7 @@ def convex_upsample_data(flow: jnp.ndarray, info: jnp.ndarray,
     """SEA-RAFT variant: convex-upsample flow (scaled by factor) and an
     auxiliary info map (unscaled) with one shared mask
     (reference SEARAFT.upsample_data, sea_raft.py:146-163)."""
-    b, h, w, _ = flow.shape
+    b, h, w, c = flow.shape
     f = factor
     m = mask.reshape(b, h, w, 9, f * f).astype(jnp.float32)
     m = jax.nn.softmax(m, axis=3)

@@ -18,6 +18,7 @@ ARGS_OVERRIDE = {
     "flowformer": {"decoder_depth": 2, "use_tile_input": False},
     "rapidflow": {"iters": 3}, "rapidflow_it6": {"iters": 3},
     "rpknet": {"iters": 3},
+    "dpflow": {"iters_per_level": 1, "enc_depth": 2, "dec_gru_depth": 2},
 }
 
 # models exercised heavily by their own dedicated test files
