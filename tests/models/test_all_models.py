@@ -19,6 +19,8 @@ ARGS_OVERRIDE = {
     "rapidflow": {"iters": 3}, "rapidflow_it6": {"iters": 3},
     "rpknet": {"iters": 3},
     "dpflow": {"iters_per_level": 1, "enc_depth": 2, "dec_gru_depth": 2},
+    "unimatch_sc2_ref6": {"num_reg_refine": 2},
+    "gmflow_p_sc2_ref6": {"num_reg_refine": 2},
 }
 
 # models exercised heavily by their own dedicated test files
