@@ -21,6 +21,8 @@ ARGS_OVERRIDE = {
     "dpflow": {"iters_per_level": 1, "enc_depth": 2, "dec_gru_depth": 2},
     "unimatch_sc2_ref6": {"num_reg_refine": 2},
     "gmflow_p_sc2_ref6": {"num_reg_refine": 2},
+    "videoflow_bof": {"decoder_depth": 2},
+    "videoflow_mof": {"decoder_depth": 2},
 }
 
 # models exercised heavily by their own dedicated test files
