@@ -11,7 +11,10 @@ from .flownet import (  # noqa: F401
 )
 from .skflow import skflow  # noqa: F401
 from .csflow import csflow  # noqa: F401
-from .liteflownet import liteflownet  # noqa: F401
+from .liteflownet import (  # noqa: F401
+    liteflownet, liteflownet2, liteflownet2_pseudoreg, liteflownet3,
+    liteflownet3_pseudoreg, liteflownet3s, liteflownet3s_pseudoreg,
+)
 from .neuflow import neuflow  # noqa: F401
 from .flow1d import flow1d  # noqa: F401
 from .fastflownet import fastflownet  # noqa: F401

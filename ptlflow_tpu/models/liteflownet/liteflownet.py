@@ -29,8 +29,8 @@ def lrelu(x):
 
 
 def lfn_warp(x: jnp.ndarray, flow: jnp.ndarray, mult: float) -> jnp.ndarray:
-    """WarpingLayer (warp.py:25-45): flow scaled by 1/mult in pixels,
-    align_corners=True sampling, binary mask at >= 1."""
+    """WarpingLayer (warp.py:25-45): pixel shift = flow * mult (the reference
+    passes div_flow=1/mult and divides), align_corners=True, mask >= 1."""
     b, h, w, c = x.shape
     coords = coords_grid(b, h, w, dtype=flow.dtype) + flow * mult
     out = bilinear_sampler(x, coords)
@@ -96,7 +96,7 @@ class Matching(nn.Module):
         warped_feat2 = feats[:, 1]
         if flow is not None:
             flow = self.up_flow(params["up_flow"], flow)
-            warped_feat2 = lfn_warp(feats[:, 1], flow, 1.0 / self.mult)
+            warped_feat2 = lfn_warp(feats[:, 1], flow, self.mult)
         corr = local_correlation(feat1, warped_feat2, 3, normalize=False,
                                  dilation=self.corr_stride,
                                  stride=self.corr_stride) / feats.shape[-1]
@@ -124,7 +124,7 @@ class SubPixel(nn.Module):
             nn.Conv2d(32, 2, flow_kernel_size, 1, flow_kernel_size // 2))
 
     def __call__(self, params, feats, flow, **kw):
-        feat_warped = lfn_warp(feats[:, 1], flow, 1.0 / self.mult)
+        feat_warped = lfn_warp(feats[:, 1], flow, self.mult)
         x = jnp.concatenate([feats[:, 0], feat_warped, flow], axis=-1)
         return flow + self.flow_net(params["flow_net"], x)
 
@@ -161,7 +161,7 @@ class Regularization(nn.Module):
 
     def __call__(self, params, images, feats, flow, **kw):
         # images: (B, 2, h, w, 3)
-        img2_warped = lfn_warp(images[:, 1], flow, 1.0 / self.mult)
+        img2_warped = lfn_warp(images[:, 1], flow, self.mult)
         # reference quirk: only the warped green channel broadcasts
         diff = images[:, 0] - img2_warped[..., 1:2]
         img_diff_norm = jnp.linalg.norm(diff, axis=-1, keepdims=True)
