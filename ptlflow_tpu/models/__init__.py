@@ -16,6 +16,7 @@ from .liteflownet import (  # noqa: F401
     liteflownet3_pseudoreg, liteflownet3s, liteflownet3s_pseudoreg,
 )
 from .neuflow import neuflow  # noqa: F401
+from .neuflow2 import neuflow2  # noqa: F401
 from .flow1d import flow1d  # noqa: F401
 from .fastflownet import fastflownet  # noqa: F401
 from .maskflownet import maskflownet, maskflownet_s  # noqa: F401

@@ -23,6 +23,7 @@ ARGS_OVERRIDE = {
     "gmflow_p_sc2_ref6": {"num_reg_refine": 2},
     "videoflow_bof": {"decoder_depth": 2},
     "videoflow_mof": {"decoder_depth": 2},
+    "neuflow2": {"iters_s8": 2},
 }
 
 # models exercised heavily by their own dedicated test files
