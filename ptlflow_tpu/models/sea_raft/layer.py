@@ -89,10 +89,17 @@ class BasicBlock(nn.Module):
         if stride == 1 and in_planes == planes:
             self.downsample = None
         else:
+            # the reference registers bn3 AND reuses the same instance inside
+            # the downsample Sequential (layer.py:139-142), so the params
+            # exist once but the state_dict lists them under both names
             self.bn3 = nn.BatchNorm2d(planes)
             self.downsample = nn.Sequential(
-                conv1x1(in_planes, planes, stride=stride),
-                nn.BatchNorm2d(planes))
+                conv1x1(in_planes, planes, stride=stride))
+
+    def from_torch(self, flat, strict=True, _path=""):
+        flat = {k: v for k, v in flat.items()
+                if not k.startswith("downsample.1.")}
+        return super().from_torch(flat, strict=strict, _path=_path)
 
     def __call__(self, params, x, **kw):
         y = nn.relu(self.bn1(params["bn1"],
@@ -101,6 +108,7 @@ class BasicBlock(nn.Module):
                              self.conv2(params["conv2"], y), **kw))
         if self.downsample is not None:
             x = self.downsample(params["downsample"], x, **kw)
+            x = self.bn3(params["bn3"], x, **kw)
         return nn.relu(x + y)
 
 
