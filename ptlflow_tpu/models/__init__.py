@@ -18,6 +18,7 @@ from .liteflownet import (  # noqa: F401
 from .neuflow import neuflow  # noqa: F401
 from .neuflow2 import neuflow2  # noqa: F401
 from .dicl import dicl  # noqa: F401
+from .memfof import memfof  # noqa: F401
 from .flow1d import flow1d  # noqa: F401
 from .fastflownet import fastflownet  # noqa: F401
 from .maskflownet import maskflownet, maskflownet_s  # noqa: F401

@@ -30,7 +30,7 @@ ARGS_OVERRIDE = {
 # covers it at that size
 
 # models exercised heavily by their own dedicated test files
-SKIP = {"dicl"}
+SKIP = {"dicl", "memfof"}  # need >=256px / >=128px; covered in their test files
 
 
 @pytest.mark.parametrize("name", ptlflow_tpu.get_model_names())
