@@ -1,0 +1,2 @@
+from .irr import (  # noqa: F401
+    IRRPWC, IRRPWCNet, IRRPWCNetIRR, irr_pwc, irr_pwcnet, irr_pwcnet_irr)

@@ -34,8 +34,11 @@ def lfn_warp(x: jnp.ndarray, flow: jnp.ndarray, mult: float) -> jnp.ndarray:
     b, h, w, c = x.shape
     coords = coords_grid(b, h, w, dtype=flow.dtype) + flow * mult
     out = bilinear_sampler(x, coords)
-    mask = bilinear_sampler(jnp.ones((b, h, w, 1), x.dtype), coords)
-    return out * (mask >= 1.0).astype(x.dtype)
+    # torch's mask (grid_sample of ones >= 1) is exactly "sample fully in
+    # bounds"; computing it analytically avoids fp-noise at the threshold
+    mask = ((coords[..., 0] >= 0) & (coords[..., 0] <= w - 1) &
+            (coords[..., 1] >= 0) & (coords[..., 1] <= h - 1))
+    return out * mask[..., None].astype(x.dtype)
 
 
 class FeatureExtractor(nn.Module):
