@@ -19,7 +19,7 @@ from .neuflow import neuflow  # noqa: F401
 from .neuflow2 import neuflow2  # noqa: F401
 from .dicl import dicl  # noqa: F401
 from .memfof import memfof  # noqa: F401
-from .irr import irr_pwc, irr_pwcnet, irr_pwcnet_irr  # noqa: F401
+from .irr import irr_pwc, irr_pwcnet, irr_pwcnet_irr, scopeflow  # noqa: F401
 from .starflow import starflow  # noqa: F401
 from .flow1d import flow1d  # noqa: F401
 from .fastflownet import fastflownet  # noqa: F401

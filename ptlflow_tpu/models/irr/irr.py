@@ -274,6 +274,8 @@ class IRRPWCNetIRR(BaseModel):
 class IRRPWC(BaseModel):
     """Full bidirectional flow + occlusion IRR model (irr_pwc.py:27-331)."""
 
+    _cont_extra_rescale = False
+
     pretrained_checkpoints = {
         "chairs_occ": "https://github.com/hmorimitsu/ptlflow/releases/download/weights1/irr_pwc-chairs_occ-02066cc4.ckpt",
         "things": "https://github.com/hmorimitsu/ptlflow/releases/download/weights1/irr_pwc-things-c143e848.ckpt",
@@ -428,7 +430,16 @@ class IRRPWC(BaseModel):
                     jax.lax.stop_gradient(occ_cont_b), x2_1by1,
                     x2_1by1 - x1_1by1_warp)
 
-                flows.append([flow_cont_f, flow_cont_b, flow_f, flow_b])
+                if self._cont_extra_rescale:
+                    # ScopeFlow quirk (irr_pwc_v2.py:494-541): flow_cont is
+                    # rescaled to global units twice before being appended
+                    flows.append([
+                        rescale_flow(flow_cont_f, dv, width_im, height_im,
+                                     False),
+                        rescale_flow(flow_cont_b, dv, width_im, height_im,
+                                     False), flow_f, flow_b])
+                else:
+                    flows.append([flow_cont_f, flow_cont_b, flow_f, flow_b])
                 occs.append([occ_cont_f, occ_cont_b, occ_f, occ_b])
             else:
                 flow_f = upsample2d_as(flow_f, x1.shape[1:3])
@@ -485,9 +496,30 @@ class IRRPWC(BaseModel):
         return outputs
 
 
+class ScopeFlow(IRRPWC):
+    """ScopeFlow (reference scopeflow/irr_pwc_v2.py:28-602) — identical
+    architecture and parameters to IRR-PWC; differs only in training-time
+    scoping augmentations and the flow_cont rescale quirk."""
+
+    _cont_extra_rescale = True
+
+    pretrained_checkpoints = {
+        "chairs": "https://github.com/hmorimitsu/ptlflow/releases/download/weights1/scopeflow-chairs-ebfaa62d.ckpt",
+        "things": "https://github.com/hmorimitsu/ptlflow/releases/download/weights1/scopeflow-things-70e22d63.ckpt",
+        "kitti": "https://github.com/hmorimitsu/ptlflow/releases/download/weights1/scopeflow-kitti-a20c434d.ckpt",
+        "sintel": "https://github.com/hmorimitsu/ptlflow/releases/download/weights1/scopeflow-sintel-21a91683.ckpt",
+    }
+
+
 @register_model
 @trainable
 class irr_pwc(IRRPWC):
+    pass
+
+
+@register_model
+@trainable
+class scopeflow(ScopeFlow):
     pass
 
 
