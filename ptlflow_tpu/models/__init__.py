@@ -21,6 +21,7 @@ from .dicl import dicl  # noqa: F401
 from .memfof import memfof  # noqa: F401
 from .irr import irr_pwc, irr_pwcnet, irr_pwcnet_irr, scopeflow  # noqa: F401
 from .starflow import starflow  # noqa: F401
+from .llaflow import llaflow, llaflow_raft  # noqa: F401
 from .flow1d import flow1d  # noqa: F401
 from .fastflownet import fastflownet  # noqa: F401
 from .maskflownet import maskflownet, maskflownet_s  # noqa: F401

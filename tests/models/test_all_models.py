@@ -24,6 +24,7 @@ ARGS_OVERRIDE = {
     "videoflow_bof": {"decoder_depth": 2},
     "videoflow_mof": {"decoder_depth": 2},
     "neuflow2": {"iters_s8": 2},
+    "llaflow": {"iters": 2}, "llaflow_raft": {"iters": 2},
 }
 
 # dicl needs >=256px inputs (7px search range at 1/64); its own test file
