@@ -25,6 +25,8 @@ ARGS_OVERRIDE = {
     "videoflow_mof": {"decoder_depth": 2},
     "neuflow2": {"iters_s8": 2},
     "llaflow": {"iters": 2}, "llaflow_raft": {"iters": 2},
+    "recover_mn": {"iters": 1}, "recover_rn": {"iters": 1},
+    "recover_cx": {"iters": 1}, "flow_anything": {"iters": 1},
 }
 
 # dicl needs >=256px inputs (7px search range at 1/64); its own test file
