@@ -71,3 +71,43 @@ def fb_check(flow_fw: jnp.ndarray, flow_bw: jnp.ndarray,
     occ = jnp.sum(diff ** 2, axis=-1, keepdims=True) > \
         (alpha_1 * mag_sq + alpha_2)
     return occ.astype(flow_fw.dtype)
+
+
+def softsplat_average(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Average-mode soft forward splatting (SplatFlow's softsplat.py:435-467,
+    a CUDA kernel in the reference): each source pixel bilinearly scatters
+    its value to the four integer corners of p + flow(p); the result is
+    normalized by the splatted weight sum (1 where empty).
+
+    x: (B, H, W, C); flow: (B, H, W, 2). TPU note: implemented as four
+    batched scatter-adds with OOB drops.
+    """
+    b, h, w, c = x.shape
+    coords = coords_grid(b, h, w, dtype=flow.dtype) + flow
+    xs = coords[..., 0]
+    ys = coords[..., 1]
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = xs - x0
+    fy = ys - y0
+    vals = jnp.concatenate([x, jnp.ones((b, h, w, 1), x.dtype)], axis=-1)
+
+    def splat_one(v, x0, y0, fx, fy):
+        out = jnp.zeros((h * w + 1, c + 1), v.dtype)
+        for dx, dy, wgt in ((0, 0, (1 - fx) * (1 - fy)),
+                            (1, 0, fx * (1 - fy)),
+                            (0, 1, (1 - fx) * fy),
+                            (1, 1, fx * fy)):
+            tx = (x0 + dx).astype(jnp.int32)
+            ty = (y0 + dy).astype(jnp.int32)
+            valid = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
+            idx = jnp.where(valid, ty * w + tx, h * w).reshape(-1)
+            out = out.at[idx].add((v * wgt[..., None]).reshape(-1, c + 1),
+                                  mode="drop")
+        return out[:h * w]
+
+    out = jax.vmap(splat_one)(vals, x0, y0, fx, fy)
+    out = out.reshape(b, h, w, c + 1)
+    den = out[..., -1:]
+    den = jnp.where(den == 0.0, 1.0, den)
+    return out[..., :-1] / den
