@@ -23,6 +23,7 @@ from .irr import irr_pwc, irr_pwcnet, irr_pwcnet_irr, scopeflow  # noqa: F401
 from .starflow import starflow  # noqa: F401
 from .llaflow import llaflow, llaflow_raft  # noqa: F401
 from .splatflow import splatflow  # noqa: F401
+from .dip import dip  # noqa: F401
 from .recover import (  # noqa: F401
     flow_anything, recover_cx, recover_mn, recover_rn,
 )
