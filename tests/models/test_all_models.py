@@ -28,6 +28,7 @@ ARGS_OVERRIDE = {
     "recover_mn": {"iters": 1}, "recover_rn": {"iters": 1},
     "recover_cx": {"iters": 1}, "flow_anything": {"iters": 1},
     "splatflow": {"iters": 2}, "dip": {"iters": 2},
+    "ms_raft_p": {"iters": (1, 1, 1, 1)},
 }
 
 # dicl needs >=256px inputs (7px search range at 1/64); its own test file
