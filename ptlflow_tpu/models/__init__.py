@@ -28,6 +28,9 @@ from .recover import (  # noqa: F401
     flow_anything, recover_cx, recover_mn, recover_rn,
 )
 from .ms_raft_plus import ms_raft_p  # noqa: F401
+from .waft import (  # noqa: F401
+    waft_dav2_a1, waft_dav2_a2, waft_dinov3_a2, waft_twins_a2,
+)
 from .flow1d import flow1d  # noqa: F401
 from .fastflownet import fastflownet  # noqa: F401
 from .maskflownet import maskflownet, maskflownet_s  # noqa: F401

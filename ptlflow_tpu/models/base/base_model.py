@@ -48,6 +48,9 @@ def bgr_val_as_array(val, ndim_ref: int, channel_axis: int = -1):
 
 class BaseModel(nn.Module):
     pretrained_checkpoints: Dict[str, str] = {}
+    # dotted param-subtree paths excluded from optimization (frozen
+    # backbones, i.e. requires_grad=False in the reference)
+    frozen_prefixes: Tuple[str, ...] = ()
 
     def __init__(self, output_stride: int = 1,
                  loss_fn: Optional[Callable] = None, **kwargs):

@@ -182,13 +182,21 @@ def count_parameters(params: Dict[str, Any]) -> int:
     return sum(int(np.prod(v.shape)) for v in jax.tree_util.tree_leaves(params))
 
 
-def split_trainable(params: Dict[str, Any]) -> Tuple[Dict, Dict]:
-    """Split a param tree into (trainable, state) by leaf name."""
-    def walk(p):
+def split_trainable(params: Dict[str, Any],
+                    frozen_prefixes: Tuple[str, ...] = ()) -> Tuple[Dict, Dict]:
+    """Split a param tree into (trainable, state) by leaf name.
+
+    ``frozen_prefixes`` are dotted subtree paths (e.g. a frozen backbone,
+    mirroring torch's requires_grad=False) routed wholesale into state.
+    """
+    def walk(p, path):
         train, state = {}, {}
         for k, v in p.items():
-            if isinstance(v, dict):
-                t, s = walk(v)
+            sub = f"{path}.{k}" if path else k
+            if sub in frozen_prefixes and isinstance(v, dict):
+                state[k] = v
+            elif isinstance(v, dict):
+                t, s = walk(v, sub)
                 if t:
                     train[k] = t
                 if s:
@@ -199,7 +207,7 @@ def split_trainable(params: Dict[str, Any]) -> Tuple[Dict, Dict]:
                 train[k] = v
         return train, state
 
-    return walk(params)
+    return walk(params, "")
 
 
 def merge_params(trainable: Dict[str, Any], state: Dict[str, Any]) -> Dict[str, Any]:

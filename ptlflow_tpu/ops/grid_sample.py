@@ -171,3 +171,53 @@ def interpolate_like_torch_nchw(x_nchw: jnp.ndarray, size: Tuple[int, int],
     x = jnp.moveaxis(x_nchw, -3, -1)
     y = interpolate(x, size, mode=mode, align_corners=align_corners)
     return jnp.moveaxis(y, -1, -3)
+
+
+def _cubic_weights(t: jnp.ndarray, a: float = -0.75):
+    """Cubic convolution weights for the 4 taps around fractional offset t
+    (torch ``upsample_bicubic2d``'s kernel, a=-0.75)."""
+    # taps at distances (1+t, t, 1-t, 2-t)
+    def k1(x):  # |x| <= 1
+        return (a + 2) * x ** 3 - (a + 3) * x ** 2 + 1
+
+    def k2(x):  # 1 < |x| < 2
+        return a * x ** 3 - 5 * a * x ** 2 + 8 * a * x - 4 * a
+
+    return (k2(t + 1.0), k1(t), k1(1.0 - t), k2(2.0 - t))
+
+
+def interpolate_bicubic(x: jnp.ndarray, scale: Tuple[float, float],
+                        size: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+    """torch ``F.interpolate(mode="bicubic", align_corners=False)`` for NHWC.
+
+    When ``scale`` (scale_h, scale_w) is given, coordinates map with the
+    EXPLICIT scale factors (src = (dst + 0.5) / scale - 0.5) — matching
+    torch when scale_factor= is passed — and the output size is
+    floor(in * scale) unless ``size`` overrides it.  Edge taps clamp
+    (replicate), as in torch's bicubic.
+    """
+    n, h, w, c = x.shape
+    sh, sw = scale
+    oh = size[0] if size is not None else int(h * sh)
+    ow = size[1] if size is not None else int(w * sw)
+    compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    ys = (jnp.arange(oh, dtype=compute_dtype) + 0.5) / sh - 0.5
+    xs = (jnp.arange(ow, dtype=compute_dtype) + 0.5) / sw - 0.5
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ty = ys - y0
+    tx = xs - x0
+    wy = _cubic_weights(ty)  # 4 x (oh,)
+    wx = _cubic_weights(tx)  # 4 x (ow,)
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    xf = x.astype(compute_dtype)
+    rows = 0.0
+    for i in range(4):
+        yi = jnp.clip(y0 + (i - 1), 0, h - 1)
+        cols = 0.0
+        for j in range(4):
+            xj = jnp.clip(x0 + (j - 1), 0, w - 1)
+            cols = cols + xf[:, yi][:, :, xj] * wx[j][None, :, None]
+        rows = rows + cols * wy[i][:, None, None]
+    return rows.astype(x.dtype)

@@ -66,7 +66,8 @@ class TrainState:
 def create_train_state(model, tx: optax.GradientTransformation,
                        seed: int = 0) -> TrainState:
     full = model.params if model.params is not None else model.init_params(seed)
-    trainable, state = nn.split_trainable(full)
+    trainable, state = nn.split_trainable(
+        full, getattr(model, "frozen_prefixes", ()))
     return TrainState(params=trainable, state=state,
                       opt_state=tx.init(trainable),
                       step=jnp.zeros((), jnp.int32))
@@ -87,7 +88,8 @@ def build_train_step(model, tx: optax.GradientTransformation,
                                nn.tree_copy(bn_state))
         outputs = model.forward(full, batch, training=True)
         loss = model.loss_fn(outputs, batch)
-        _, new_state = nn.split_trainable(full)  # BN stats mutated in place
+        _, new_state = nn.split_trainable(
+            full, getattr(model, "frozen_prefixes", ()))  # BN stats mutated
         return loss, new_state
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:

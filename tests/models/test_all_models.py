@@ -29,13 +29,18 @@ ARGS_OVERRIDE = {
     "recover_cx": {"iters": 1}, "flow_anything": {"iters": 1},
     "splatflow": {"iters": 2}, "dip": {"iters": 2},
     "ms_raft_p": {"iters": (1, 1, 1, 1)},
+    "waft_dav2_a1": {"iters": 1}, "waft_dav2_a2": {"iters": 1},
+    "waft_twins_a2": {"iters": 1},
 }
 
 # dicl needs >=256px inputs (7px search range at 1/64); its own test file
 # covers it at that size
 
 # models exercised heavily by their own dedicated test files
-SKIP = {"dicl", "memfof"}  # need >=256px / >=128px; covered in their test files
+SKIP = {"dicl", "memfof",  # need >=256px / >=128px; own test files
+        # DINOv3 weights are gated; construction raises (parity with the
+        # reference, which needs a local thirdparty/dinov3 checkout)
+        "waft_dinov3_a2"}
 
 
 @pytest.mark.parametrize("name", ptlflow_tpu.get_model_names())

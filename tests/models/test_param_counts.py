@@ -35,8 +35,10 @@ MODELS = [n for n in ptlflow_tpu.get_model_names()
 def test_param_count_matches_reference(name):
     model = ptlflow_tpu.get_model(name)
     model.init_params()
-    # the reference counts nn.Parameters only — exclude BN running stats
-    trainable, _ = split_trainable(model.params)
+    # the reference counts trainable nn.Parameters only — exclude BN
+    # running stats and frozen backbones (requires_grad=False)
+    trainable, _ = split_trainable(model.params,
+                                   getattr(model, "frozen_prefixes", ()))
     params_m = count_parameters(trainable) / 1e6
     assert abs(params_m - REF_COUNTS[name]) < 1.5e-3, (
         f"{name}: ours {params_m:.6f}M vs reference "
