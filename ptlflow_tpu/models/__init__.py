@@ -28,6 +28,9 @@ from .recover import (  # noqa: F401
     flow_anything, recover_cx, recover_mn, recover_rn,
 )
 from .ms_raft_plus import ms_raft_p  # noqa: F401
+from .memflow import memflow, memflow_t  # noqa: F401
+from .flowseek import flowseek_t, flowseek_m  # noqa: F401
+from .ccmr import ccmr, ccmr_p  # noqa: F401
 from .waft import (  # noqa: F401
     waft_dav2_a1, waft_dav2_a2, waft_dinov3_a2, waft_twins_a2,
 )

@@ -31,6 +31,9 @@ ARGS_OVERRIDE = {
     "ms_raft_p": {"iters": (1, 1, 1, 1)},
     "waft_dav2_a1": {"iters": 1}, "waft_dav2_a2": {"iters": 1},
     "waft_twins_a2": {"iters": 1},
+    "memflow": {"decoder_depth": 2}, "memflow_t": {"decoder_depth": 2},
+    "flowseek_t": {"iters": 1}, "flowseek_m": {"iters": 1},
+    "ccmr": {"iters": (1, 1, 1)}, "ccmr_p": {"iters": (1, 1, 1, 1)},
 }
 
 # dicl needs >=256px inputs (7px search range at 1/64); its own test file
