@@ -31,6 +31,7 @@ from .ms_raft_plus import ms_raft_p  # noqa: F401
 from .memflow import memflow, memflow_t  # noqa: F401
 from .flowseek import flowseek_t, flowseek_m  # noqa: F401
 from .ccmr import ccmr, ccmr_p  # noqa: F401
+from .hd3 import hd3, hd3_ctxt  # noqa: F401
 from .waft import (  # noqa: F401
     waft_dav2_a1, waft_dav2_a2, waft_dinov3_a2, waft_twins_a2,
 )
