@@ -39,6 +39,15 @@ def _parse_args():
     return parser.parse_args()
 
 
+def _imread_checked(path):
+    import cv2 as cv
+
+    img = cv.imread(str(path))
+    if img is None:
+        raise FileNotFoundError(f"cannot read image: {path}")
+    return img
+
+
 def init_input(input_path: List[str]):
     """Yield (name, frame) pairs (reference infer.py:234)."""
     import cv2 as cv
@@ -47,7 +56,7 @@ def init_input(input_path: List[str]):
         frames = sorted(p for p in Path(input_path[0]).iterdir()
                         if p.suffix.lower() in IMG_EXTS)
         for p in frames:
-            yield p.stem, cv.imread(str(p))
+            yield p.stem, _imread_checked(p)
     elif len(input_path) == 1 and \
             Path(input_path[0]).suffix.lower() in VID_EXTS:
         cap = cv.VideoCapture(input_path[0])
@@ -61,7 +70,7 @@ def init_input(input_path: List[str]):
         cap.release()
     else:
         for p in input_path:
-            yield Path(p).stem, cv.imread(str(p))
+            yield Path(p).stem, _imread_checked(p)
 
 
 def infer(args):

@@ -247,41 +247,46 @@ class ColorJitter:
         self.hue = (-hue, hue) if not isinstance(hue, (tuple, list)) else tuple(hue)
         self.asymmetric_prob = asymmetric_prob
 
-    def _jitter_one(self, img: np.ndarray) -> np.ndarray:
-        """img: (C, H, W) in [0, 1]."""
+    # ITU-R 601 luma weights, applied positionally on the channel axis like
+    # torchvision's rgb_to_grayscale (the reference wraps
+    # torchvision.transforms.ColorJitter, flow_transforms.py:310-381).
+    _LUMA = np.asarray([0.299, 0.587, 0.114], np.float32)
+
+    def _jitter_stack(self, imgs: np.ndarray) -> np.ndarray:
+        """imgs: (N, C, H, W) in [0, 1]; one factor per op shared across the
+        N frames, contrast mean computed per frame (torchvision
+        adjust_contrast semantics on a batched tensor)."""
+        luma = self._LUMA[None, :, None, None]
         ops = list(range(4))
         random.shuffle(ops)
         for op in ops:
             if op == 0:
                 f = random.uniform(*self.brightness)
-                img = img * f
+                imgs = imgs * f
             elif op == 1:
                 f = random.uniform(*self.contrast)
-                mean = img.mean()
-                img = (img - mean) * f + mean
+                gray = (imgs * luma).sum(axis=1, keepdims=True)
+                mean = gray.mean(axis=(1, 2, 3), keepdims=True)
+                imgs = (imgs - mean) * f + mean
             elif op == 2:
                 f = random.uniform(*self.saturation)
-                gray = img.mean(axis=0, keepdims=True)
-                img = (img - gray) * f + gray
+                gray = (imgs * luma).sum(axis=1, keepdims=True)
+                imgs = (imgs - gray) * f + gray
             elif op == 3 and (self.hue[0] != 0 or self.hue[1] != 0):
                 shift = random.uniform(*self.hue)
-                img = _shift_hue(img, shift)
-            img = np.clip(img, 0.0, 1.0)
-        return img
+                imgs = np.stack([_shift_hue(im, shift) for im in imgs])
+            imgs = np.clip(imgs, 0.0, 1.0)
+        return imgs
 
     def __call__(self, inputs):
         imgs = inputs.get("images")
         if imgs is None:
             return inputs
         if random.random() < self.asymmetric_prob:
-            out = np.stack([self._jitter_one(im) for im in imgs])
+            out = np.concatenate([self._jitter_stack(im[None])
+                                  for im in imgs])
         else:
-            n = imgs.shape[0]
-            flat = imgs.transpose(1, 0, 2, 3).reshape(
-                imgs.shape[1], -1, imgs.shape[3])
-            flat = self._jitter_one(flat)
-            out = flat.reshape(imgs.shape[1], n, imgs.shape[2],
-                               imgs.shape[3]).transpose(1, 0, 2, 3)
+            out = self._jitter_stack(imgs)
         inputs["images"] = out.astype(np.float32)
         return inputs
 

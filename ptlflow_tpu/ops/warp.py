@@ -6,10 +6,11 @@
   reference's CPU scipy.griddata nearest scatter
   (/root/reference/ptlflow/utils/external/raft.py:155-185), used by the
   RAFT warm-start path.  The reference runs nearest-neighbor interpolation of
-  scattered points; here we forward-splat each source pixel's flow onto its
-  rounded target cell (last-write-wins scatter) and leave unhit cells at 0 —
-  a jit-compatible approximation with the same role (flow initialization),
-  avoiding the host round-trip entirely.
+  scattered points (every cell filled); here we forward-splat each source
+  pixel's flow onto its rounded target cell (last-write-wins scatter) and
+  then fill unhit cells by iterative dilation of the splatted values — a
+  jit-compatible approximation of the nearest fill with the same role (flow
+  initialization), avoiding the host round-trip entirely.
 - ``fb_check``: forward-backward consistency occlusion estimation
   (/root/reference/ptlflow/utils/flow_utils.py:216-246).
 """
@@ -31,11 +32,22 @@ def backward_warp(img: jnp.ndarray, flow: jnp.ndarray,
     return bilinear_sampler(img, coords, mask=return_mask)
 
 
-def forward_interpolate(flow: jnp.ndarray) -> jnp.ndarray:
+def _box3_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 box-filter sum over the H, W axes of a (B, H, W, C) array."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 1, 1, 1), padding="SAME")
+
+
+def forward_interpolate(flow: jnp.ndarray, fill_iters: int = 12) -> jnp.ndarray:
     """Forward-project a flow field: out[round(p + flow(p))] = flow(p).
 
-    flow: (B, H, W, 2).  Unhit target cells are 0.  Out-of-frame targets are
-    dropped, mirroring the validity mask in the reference implementation.
+    flow: (B, H, W, 2).  Out-of-frame targets are dropped, mirroring the
+    validity mask in the reference implementation.  Unhit target cells are
+    filled by ``fill_iters`` rounds of 3x3 dilation of the splatted values
+    (averaging hit neighbours), approximating the reference's
+    scipy.griddata nearest-neighbour fill; cells still unhit after dilation
+    (empty regions wider than ``3*fill_iters``) stay 0.
     """
     b, h, w, _ = flow.shape
     coords = coords_grid(b, h, w, dtype=flow.dtype)
@@ -49,12 +61,27 @@ def forward_interpolate(flow: jnp.ndarray) -> jnp.ndarray:
     src = flow.reshape(b, h * w, 2)
 
     def splat_one(idx, vals):
-        out = jnp.zeros((h * w + 1, 2), vals.dtype)
-        out = out.at[idx].set(vals, mode="drop")
+        out = jnp.zeros((h * w + 1, 3), vals.dtype)
+        vals1 = jnp.concatenate([vals, jnp.ones_like(vals[..., :1])], -1)
+        out = out.at[idx].set(vals1, mode="drop")
         return out[:h * w]
 
     out = jax.vmap(splat_one)(flat_idx.reshape(b, h * w), src)
-    return out.reshape(b, h, w, 2)
+    out = out.reshape(b, h, w, 3)
+    vals, hit = out[..., :2], out[..., 2:]
+
+    if fill_iters > 0:
+        def fill_step(_, carry):
+            vals, hit = carry
+            num = _box3_sum(vals * hit)
+            den = _box3_sum(hit)
+            neighbor = num / jnp.maximum(den, 1.0)
+            grown = (den > 0).astype(hit.dtype)
+            vals = jnp.where(hit > 0, vals, neighbor)
+            return vals, jnp.maximum(hit, grown)
+
+        vals, hit = jax.lax.fori_loop(0, fill_iters, fill_step, (vals, hit))
+    return vals * (hit > 0)
 
 
 def fb_check(flow_fw: jnp.ndarray, flow_bw: jnp.ndarray,

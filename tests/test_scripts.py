@@ -54,6 +54,31 @@ def test_validate_script(sintel_cfg):
     assert list((out_dir / "sintel-clean-trainval").glob("*_viz.png"))
 
 
+def test_validate_script_scaled(sintel_cfg, tmp_path):
+    """--scale_factor / --max_forward_side must actually rescale the forward
+    pass and unscale predictions (reference validate.py:100-114)."""
+    import validate as validate_mod
+
+    tmp, cfg = sintel_cfg
+    args = argparse.Namespace(
+        model="raft_small", ckpt_path=None, config=None,
+        set=[f"data.dataset_config_path={cfg}"],
+        val_dataset="sintel-clean-trainval", warm_start=False,
+        output_path=str(tmp_path / "out_validate_scaled"),
+        write_outputs=False,
+        scale_factor=0.5, max_forward_side=None, iters=2, max_samples=1,
+        all=False, select=None, exclude=None)
+    metrics = validate_mod.validate(args)
+    m = metrics["sintel-clean-trainval"]
+    assert np.isfinite(m["epe"])
+
+    # max_forward_side smaller than the 128px input forces a downscale too
+    args.scale_factor = None
+    args.max_forward_side = 64
+    metrics = validate_mod.validate(args)
+    assert np.isfinite(metrics["sintel-clean-trainval"]["epe"])
+
+
 def test_infer_script(sintel_cfg, tmp_path):
     import infer as infer_mod
 

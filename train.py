@@ -31,8 +31,14 @@ from ptlflow_tpu.utils.flow_metrics import FlowMetrics
 # per-dataset headline metric (reference base_model.py:40-59)
 DATASET_MAIN_METRIC = {
     "chairs": "epe", "chairs2": "epe", "things": "epe", "sintel": "epe",
-    "kitti": "flall", "hd1k": "flall", "spring": "px1",
+    "kitti": "flall", "hd1k": "flall", "spring": "px1", "viper": "wauc",
+    "autoflow": "epe", "kubric": "epe", "middlebury": "epe", "monkaa": "epe",
+    "tartanair": "epe",
 }
+
+# metric direction: px1 (fraction of pixels within 1px) and wauc are
+# higher-is-better; epe/flall are lower-is-better.
+METRIC_MODE = {"epe": "min", "flall": "min", "px1": "max", "wauc": "max"}
 
 
 def _parse_args():
@@ -107,9 +113,11 @@ def main():
     main_name = dm.val_dataset_names[0] if dm.val_dataset_names else ""
     main_key = next((v for k, v in DATASET_MAIN_METRIC.items()
                      if k in main_name), "epe")
+    main_mode = METRIC_MODE.get(main_key, "min")
     ckpt_manager = CheckpointManager(str(ckpt_dir), top_k=1,
-                                     monitor=f"val/{main_key}")
-    best_val = float("inf")
+                                     monitor=f"val/{main_key}",
+                                     mode=main_mode)
+    best_val = float("inf") if main_mode == "min" else -float("inf")
 
     step = 0
     t0 = time.perf_counter()
@@ -133,11 +141,15 @@ def main():
                     results = run_validation(model, state, dm)
                     for name, m in results.items():
                         print(f"  val {name}: epe={m.get('epe', -1):.4f}")
-                    score = results[main_name].get(main_key, float("inf"))
+                    default = (float("inf") if main_mode == "min"
+                               else -float("inf"))
+                    score = results[main_name].get(main_key, default)
                     ckpt_manager.save_step(
                         nn.merge_params(state.params, state.state), step,
                         {f"val/{main_key}": score})
-                    if score < best_val:
+                    improved = (score < best_val if main_mode == "min"
+                                else score > best_val)
+                    if improved:
                         best_val = score
                         print(f"  new best {main_key}={score:.4f} -> saved")
 

@@ -43,6 +43,24 @@ def _parse_args():
     return parser.parse_args()
 
 
+def _make_scaler(images, args):
+    """InputScaler honoring --scale_factor / --max_forward_side (reference
+    validate.py:100-114): max_forward_side caps the longest side; otherwise
+    scale_factor applies directly. Returns None when no scaling is needed."""
+    from ptlflow_tpu.ops.resize import InputScaler
+
+    scale = args.scale_factor
+    if args.max_forward_side is not None:
+        side = max(int(images.shape[-2]), int(images.shape[-1]))
+        if side > args.max_forward_side:
+            scale = args.max_forward_side / side
+    if scale is None or scale == 1.0:
+        return None
+    # InputScaler works on NHWC trailing dims.
+    nhwc_shape = images.shape[:-3] + images.shape[-2:] + images.shape[-3:-2]
+    return InputScaler(nhwc_shape, scale_factor=scale)
+
+
 def validate_one_dataloader(model, loader, dataset_name: str, args,
                             out_dir: Path) -> Dict[str, float]:
     """Reference validate.py:351-460 semantics."""
@@ -54,7 +72,12 @@ def validate_one_dataloader(model, loader, dataset_name: str, args,
     for i, batch in enumerate(loader):
         if args.max_samples is not None and i >= args.max_samples:
             break
-        inputs = {"images": jnp.asarray(batch["images"])}
+        images = jnp.asarray(batch["images"])
+        scaler = _make_scaler(images, args)
+        if scaler is not None:
+            x = jnp.moveaxis(images, -3, -1)
+            images = jnp.moveaxis(scaler.fill(x), -1, -3)
+        inputs = {"images": images}
         meta = batch.get("meta", {})
         if args.warm_start:
             starts = meta.get("is_seq_start", [True])
@@ -65,6 +88,18 @@ def validate_one_dataloader(model, loader, dataset_name: str, args,
         preds = model(inputs)
         if args.warm_start and "flow_small" in preds:
             prev_preds = {"flow_small": preds["flow_small"]}
+        if scaler is not None:
+            # Unscale flow predictions back to original resolution before
+            # metrics/outputs (reference validate.py:413-415 via IOAdapter).
+            unscaled = {}
+            for k, v in preds.items():
+                if hasattr(v, "ndim") and v.ndim >= 4 and "small" not in k:
+                    x = jnp.moveaxis(v, -3, -1)
+                    x = scaler.unfill(x, is_flow="flow" in k)
+                    unscaled[k] = jnp.moveaxis(x, -1, -3)
+                else:
+                    unscaled[k] = v
+            preds = unscaled
         if "flows" in batch:
             targets = {"flows": jnp.asarray(batch["flows"])}
             if "valids" in batch:
@@ -90,10 +125,17 @@ def validate_one_dataloader(model, loader, dataset_name: str, args,
 
 def validate(args, model=None, model_name: Optional[str] = None):
     cfg = load_config(args)
+    if args.iters is not None:
+        # --iters overrides the model's recurrent iteration count
+        # (reference validate.py passes it into model init args).
+        cfg.setdefault("model", {}).setdefault("init_args", {})["iters"] = \
+            args.iters
     if model is None:
         model, model_name = model_from_args(args, cfg)
         if model.params is None:
             model.init_params()
+    elif args.iters is not None and hasattr(model, "iters"):
+        model.iters = args.iters
 
     dm = datamodule_from_cfg(cfg, output_stride=model.output_stride,
                              val_dataset=args.val_dataset)
