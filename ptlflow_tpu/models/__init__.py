@@ -10,6 +10,7 @@ from .flownet import (  # noqa: F401
     flownets, flownetc, flownetsd, flownetcs, flownetcss, flownet2,
 )
 from .skflow import skflow  # noqa: F401
+from .craft import craft  # noqa: F401
 from .csflow import csflow  # noqa: F401
 from .liteflownet import (  # noqa: F401
     liteflownet, liteflownet2, liteflownet2_pseudoreg, liteflownet3,
