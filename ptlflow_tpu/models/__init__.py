@@ -47,6 +47,7 @@ from .rapidflow import (  # noqa: F401
 )
 from .rpknet import rpknet  # noqa: F401
 from .dpflow import dpflow  # noqa: F401
+from .vcn import vcn, vcn_small  # noqa: F401
 from .videoflow import videoflow_bof, videoflow_mof  # noqa: F401
 from .unimatch import (  # noqa: F401
     unimatch, unimatch_sc2, unimatch_sc2_ref6, gmflow_p, gmflow_p_sc2,
