@@ -1,0 +1,234 @@
+"""SCV: Sparse Cost Volume flow (Displacement-Invariant Matching, top-k).
+
+Parity with /root/reference/ptlflow/models/scv/scv.py (compute_sparse_corr
+:48-84, SCVQuarter :148-328, SCVEighth :328-502) and utils.py
+(compute_interpolation_weights :148-175).
+
+TPU design: the reference's faiss GPU k-NN (inner-product search,
+knn.py:88-116) is an exact `jax.lax.top_k` over the full correlation matrix
+— one MXU matmul + top-k, no external library.  The per-iteration sparse
+bilinear splat into 9x9 windows at 5 scales (torch.sparse coalesce) is a
+flat scatter-add with out-of-window entries dropped; the iteration loop is
+a lax.scan with (net, coords1, displaced top-k coords, delta) carry.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ... import nn
+from ...ops.correlation import coords_grid
+from ...ops.upsample import convex_upsample
+from ...ops.warp import forward_interpolate
+from ...utils.registry import register_model, trainable
+from ..base import BaseModel
+from ..raft.raft import SequenceLoss
+from .extractor import BasicEncoder, BasicEncoderQuarter
+from .update import BasicUpdateBlock, BasicUpdateBlockQuarter
+
+
+def compute_sparse_corr(fmap1: jnp.ndarray, fmap2: jnp.ndarray, k: int = 32):
+    """Top-k correlation hypotheses per query pixel (scv.py:48-84).
+
+    fmap1, fmap2: (B, H, W, C).  Returns
+    corr (B, N, k), coords0 (B, N, 2) (y, x), coords1 (B, N, k, 2)
+    relative (y, x) displacements of the matches.
+    """
+    b, h, w, c = fmap1.shape
+    n = h * w
+    f1 = fmap1.reshape(b, n, c)
+    f2 = fmap2.reshape(b, n, c)
+    corr_full = jax.lax.dot_general(
+        f1, f2, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (B, N1, N2)
+    corr_top, indices = jax.lax.top_k(corr_full, k)  # (B, N, k)
+    corr_top = corr_top / jnp.sqrt(jnp.asarray(c, jnp.float32))
+
+    ys = (indices // w).astype(jnp.float32)
+    xs = (indices % w).astype(jnp.float32)
+    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    coords0 = jnp.stack([gy.reshape(-1), gx.reshape(-1)], -1)  # (N, 2)
+    coords1 = jnp.stack([ys, xs], -1) - coords0[None, :, None, :]
+    return corr_top.astype(fmap1.dtype), coords0, coords1
+
+
+def _bilinear_corners(coords: jnp.ndarray):
+    """4 integer corners + weights of fractional (y, x) displacements
+    (utils.py:148-175 ordering: (f,f), (c,f), (f,c), (c,c))."""
+    y, x = coords[..., 0], coords[..., 1]
+    yf, xf = jnp.floor(y), jnp.floor(x)
+    yc, xc = yf + 1, xf + 1
+    w0 = (yc - y) * (xc - x)
+    w1 = (y - yf) * (xc - x)
+    w2 = (yc - y) * (x - xf)
+    w3 = (y - yf) * (x - xf)
+    weights = jnp.stack([w0, w1, w2, w3], axis=-1)  # (..., 4)
+    corners = jnp.stack([
+        jnp.stack([yf, xf], -1), jnp.stack([yc, xf], -1),
+        jnp.stack([yf, xc], -1), jnp.stack([yc, xc], -1)],
+        axis=-2)  # (..., 4, 2)
+    return weights, corners
+
+
+def sparse_windows(corr: jnp.ndarray, coords1: jnp.ndarray, h: int, w: int,
+                   num_scales: int = 5, search_range: int = 4):
+    """Splat displaced top-k matches into dense per-pixel windows.
+
+    corr: (B, N, k); coords1: (B, N, k, 2) fractional (y, x) displacements.
+    Returns (B, H, W, num_scales * (2r+1)^2), level-major like the
+    reference's concatenated sparse tensors (scv.py:252-298).
+    """
+    b, n_pix, k = corr.shape
+    ws = 2 * search_range + 1
+    outs = []
+    n_idx = jnp.arange(n_pix)[None, :, None, None]  # (1, N, 1, 1)
+    for i in range(num_scales):
+        c = jax.lax.stop_gradient(coords1) * (0.5 ** i)
+        weights, corners = _bilinear_corners(c)  # (B,N,k,4), (B,N,k,4,2)
+        weights = jax.lax.stop_gradient(weights)
+        iy = corners[..., 0].astype(jnp.int32) + search_range
+        ix = corners[..., 1].astype(jnp.int32) + search_range
+        valid = ((jnp.abs(corners[..., 0]) <= search_range)
+                 & (jnp.abs(corners[..., 1]) <= search_range))
+        win = iy * ws + ix
+        flat = n_idx * (ws * ws) + win  # (B, N, k, 4)
+        flat = jnp.where(valid, flat, n_pix * ws * ws)
+        vals = weights * corr[..., None]  # (B, N, k, 4)
+
+        def splat_one(f, v):
+            out = jnp.zeros((n_pix * ws * ws + 1,), v.dtype)
+            return out.at[f.reshape(-1)].add(v.reshape(-1),
+                                             mode="drop")[:-1]
+
+        out = jax.vmap(splat_one)(flat, vals)
+        outs.append(out.reshape(b, h, w, ws * ws))
+    return jnp.concatenate(outs, axis=-1)
+
+
+class SCVBase(BaseModel):
+    def __init__(self, num_k: int = 32, gamma: float = 0.8,
+                 max_flow: float = 400.0, iters: int = 32,
+                 stride: int = 8, **kwargs):
+        super().__init__(loss_fn=SequenceLoss(gamma, max_flow),
+                         output_stride=8, **kwargs)
+        self.num_k = num_k
+        self.iters = iters
+        self.stride = stride
+
+    def forward(self, params, inputs: Dict[str, Any],
+                training: bool = False) -> Dict[str, jnp.ndarray]:
+        images, image_resizer = self.preprocess_images(
+            inputs["images"], bgr_add=-0.5, bgr_mult=2.0, bgr_to_rgb=True,
+            resize_mode="pad", pad_mode="replicate", pad_two_side=True)
+
+        image1 = images[:, 0]
+        image2 = images[:, 1]
+        fmap1 = self.fnet(params["fnet"], image1, training=training)
+        fmap2 = self.fnet(params["fnet"], image2, training=training)
+        cnet = self.cnet(params["cnet"], image1, training=training)
+        net = jnp.tanh(cnet[..., :128])
+        inp = nn.relu(cnet[..., 128:])
+
+        b, h, w, _ = fmap1.shape
+        coords0 = coords_grid(b, h, w, dtype=fmap1.dtype)
+        coords1 = coords0
+        prev = inputs.get("prev_preds")
+        if prev is not None and prev.get("flow_small") is not None:
+            flow_small = prev["flow_small"]
+            if flow_small.ndim == 4 and flow_small.shape[-1] != 2:
+                flow_small = jnp.moveaxis(flow_small, -3, -1)
+            coords1 = coords1 + forward_interpolate(flow_small)
+
+        corr_val, _, coords1_cv = compute_sparse_corr(fmap1, fmap2,
+                                                      k=self.num_k)
+
+        up_params = params["update_block"]
+        f = self.stride
+        mask0 = jnp.zeros((b, h, w, (f * f) * 9), fmap1.dtype)
+        delta0 = jnp.zeros((b, h, w, 2), fmap1.dtype)
+
+        def step(carry, _):
+            net, coords1, coords1_cv, delta_flow, _ = carry
+            # displace the stored (y, x) matches by the accumulated update
+            # (scv.py:253-256: minus sign, xy->yx flip)
+            d_yx = jnp.stack([delta_flow[..., 1], delta_flow[..., 0]], -1)
+            coords1_cv = coords1_cv - jax.lax.stop_gradient(
+                d_yx.reshape(b, h * w, 1, 2))
+            corr = sparse_windows(corr_val, coords1_cv, h, w)
+            coords1 = jax.lax.stop_gradient(coords1)
+            flow = coords1 - coords0
+            net, up_mask, delta_flow = self.update_block(
+                up_params, net, inp, corr, flow)
+            coords1 = coords1 + delta_flow
+            ys = (coords1 - coords0, up_mask) if training else None
+            return (net, coords1, coords1_cv, delta_flow, up_mask), ys
+
+        (net, coords1, _, _, last_mask), ys = jax.lax.scan(
+            step, (net, coords1, coords1_cv, delta0, mask0), None,
+            length=self.iters)
+
+        if training:
+            flows_lr, masks = ys
+            it, bb = flows_lr.shape[0], flows_lr.shape[1]
+            flow_ups = convex_upsample(
+                flows_lr.reshape(it * bb, h, w, 2),
+                masks.reshape(it * bb, h, w, masks.shape[-1]), factor=f)
+            flow_ups = flow_ups.reshape(it, bb, f * h, f * w, 2)
+            flow_ups = self.postprocess_predictions(flow_ups, image_resizer,
+                                                    is_flow=True)
+            return {"flows": self.nhwc_flow_to_output(flow_ups[-1]),
+                    "flow_preds": flow_ups}
+        flow_up = convex_upsample(coords1 - coords0, last_mask, factor=f)
+        flow_up = self.postprocess_predictions(flow_up, image_resizer,
+                                               is_flow=True)
+        return {"flows": self.nhwc_flow_to_output(flow_up),
+                "flow_small": jnp.moveaxis(coords1 - coords0, -1, -3)}
+
+
+class SCVQuarter(SCVBase):
+    pretrained_checkpoints = {
+        "chairs": "https://github.com/hmorimitsu/ptlflow/releases/download/weights1/scv-quarter-chairs-4726627e.ckpt",
+        "kitti": "https://github.com/hmorimitsu/ptlflow/releases/download/weights1/scv-quarter-kitti-e86c7953.ckpt",
+        "sintel": "https://github.com/hmorimitsu/ptlflow/releases/download/weights1/scv-quarter-sintel-2d9b4a05.ckpt",
+        "things": "https://github.com/hmorimitsu/ptlflow/releases/download/weights1/scv-quarter-things-0dac9b66.ckpt",
+    }
+
+    def __init__(self, num_k: int = 32, gamma: float = 0.8,
+                 max_flow: float = 400, iters: int = 32, **kwargs):
+        super().__init__(num_k=num_k, gamma=gamma, max_flow=max_flow,
+                         iters=iters, stride=4, **kwargs)
+        self.fnet = BasicEncoderQuarter(output_dim=256, norm_fn="instance")
+        self.cnet = BasicEncoderQuarter(output_dim=256, norm_fn="batch")
+        self.update_block = BasicUpdateBlockQuarter(hidden_dim=128,
+                                                    input_dim=405)
+
+
+class SCVEighth(SCVBase):
+    pretrained_checkpoints = {
+        "chairs": "https://github.com/hmorimitsu/ptlflow/releases/download/weights1/scv-eighth-chairs-8ba57294.ckpt",
+        "things": "https://github.com/hmorimitsu/ptlflow/releases/download/weights1/scv-eighth-things-9c893323.ckpt",
+    }
+
+    def __init__(self, num_k: int = 32, gamma: float = 0.8,
+                 max_flow: float = 400, iters: int = 32, **kwargs):
+        super().__init__(num_k=num_k, gamma=gamma, max_flow=max_flow,
+                         iters=iters, stride=8, **kwargs)
+        self.fnet = BasicEncoder(output_dim=256, norm_fn="instance")
+        self.cnet = BasicEncoder(output_dim=256, norm_fn="batch")
+        self.update_block = BasicUpdateBlock(hidden_dim=128, input_dim=405)
+
+
+@register_model
+@trainable
+class scv4(SCVQuarter):
+    pass
+
+
+@register_model
+@trainable
+class scv8(SCVEighth):
+    pass
