@@ -625,6 +625,13 @@ def compute_grid_indices(image_shape, patch_size, min_overlap=20):
     ws = list(range(0, image_shape[1], patch_size[1] - min_overlap))
     hs[-1] = image_shape[0] - patch_size[0]
     ws[-1] = image_shape[1] - patch_size[1]
+    # clamp middle origins so every tile fits (the reference only ever uses
+    # step-aligned configurations; unaligned ones would crash it), dedupe
+    # while preserving order
+    hs = list(dict.fromkeys(min(h, image_shape[0] - patch_size[0])
+                            for h in hs))
+    ws = list(dict.fromkeys(min(w, image_shape[1] - patch_size[1])
+                            for w in ws))
     return [(h, w) for h in hs for w in ws]
 
 
@@ -638,7 +645,11 @@ def compute_weight(hws, image_shape, patch_size, sigma=1.0):
     weights_hw = denorm * np.exp(-0.5 * weights_hw ** 2)
     weights = np.zeros((len(hws),) + tuple(image_shape), np.float64)
     for i, (hh, ww) in enumerate(hws):
-        weights[i, hh:hh + patch_size[0], ww:ww + patch_size[1]] = weights_hw
+        # tiles may overrun the image bottom/right when the image size is
+        # not step-aligned; the reference crops them with negative F.pad
+        eh = min(hh + patch_size[0], image_shape[0])
+        ew = min(ww + patch_size[1], image_shape[1])
+        weights[i, hh:eh, ww:ew] = weights_hw[:eh - hh, :ew - ww]
     # The reference accumulates raw Gaussian weights and divides by their
     # per-pixel sum at the end (flowformer.py:253-266).  With small sigma
     # (0.05 default) the raw weights underflow float32 into subnormals that
@@ -756,13 +767,15 @@ class FlowFormer(BaseModel):
             t1 = image1[:, h:h + train_size[0], w:w + train_size[1]]
             t2 = image2[:, h:h + train_size[0], w:w + train_size[1]]
             preds, _ = self._predict(params, t1, t2)
-            wt = jnp.asarray(
-                weights_np[idx, h:h + train_size[0], w:w + train_size[1]],
-                image1.dtype)[None, :, :, None]
-            flows = flows.at[:, h:h + train_size[0],
-                             w:w + train_size[1]].add(preds[-1] * wt)
-            flow_count = flow_count.at[:, h:h + train_size[0],
-                                       w:w + train_size[1]].add(wt)
+            # crop tiles overrunning the image edge (the reference's
+            # negative F.pad, flowformer.py:258-266)
+            eh = min(h + train_size[0], image_size[0])
+            ew = min(w + train_size[1], image_size[1])
+            wt = jnp.asarray(weights_np[idx, h:eh, w:ew],
+                             image1.dtype)[None, :, :, None]
+            flows = flows.at[:, h:eh, w:ew].add(
+                preds[-1][:, :eh - h, :ew - w] * wt)
+            flow_count = flow_count.at[:, h:eh, w:ew].add(wt)
         output_flow = flows / flow_count
         output_flow = self.postprocess_predictions(output_flow,
                                                    image_resizer,

@@ -34,6 +34,9 @@ ARGS_OVERRIDE = {
     "memflow": {"decoder_depth": 2}, "memflow_t": {"decoder_depth": 2},
     "flowseek_t": {"iters": 1}, "flowseek_m": {"iters": 1},
     "ccmr": {"iters": (1, 1, 1)}, "ccmr_p": {"iters": (1, 1, 1, 1)},
+    "craft": {"iters": 2},
+    "gmflownet": {"iters": 2}, "gmflownet_mix": {"iters": 2},
+    "scv4": {"iters": 2}, "scv8": {"iters": 2},
 }
 
 # dicl needs >=256px inputs (7px search range at 1/64); its own test file
