@@ -4,7 +4,7 @@ from .module import (
     tree_copy, cast_params, STATE_LEAVES,
 )
 from .layers import (
-    Conv2d, ConvTranspose2d, Linear,
+    Conv2d, Conv3d, ConvTranspose2d, ConvTranspose3d, Linear,
     BatchNorm2d, InstanceNorm2d, GroupNorm, LayerNorm, Dropout,
     relu, gelu, sigmoid, tanh, silu, leaky_relu, softmax,
     avg_pool2d, max_pool2d,

@@ -130,6 +130,123 @@ class Conv2d(Module):
         return y
 
 
+def _triple(v):
+    if isinstance(v, (tuple, list)):
+        return tuple(v)
+    return (v, v, v)
+
+
+class Conv3d(Module):
+    """3-D convolution on NDHWC input with DHWIO weights; torch
+    ``nn.Conv3d`` (cross-correlation) semantics."""
+
+    def __init__(self, in_channels: int, out_channels: int, kernel_size,
+                 stride=1, padding=0, dilation=1, groups: int = 1,
+                 bias: bool = True):
+        super().__init__()
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = _triple(kernel_size)
+        self.stride = _triple(stride)
+        pd, ph, pw = _triple(padding)
+        self.padding = ((pd, pd), (ph, ph), (pw, pw))
+        self.dilation = _triple(dilation)
+        self.groups = groups
+        self.use_bias = bias
+
+    def init(self, key):
+        kd, kh, kw = self.kernel_size
+        fan_out = self.out_channels * kd * kh * kw
+        fan_in = self.in_channels // self.groups * kd * kh * kw
+        wkey, bkey = jax.random.split(key)
+        std = math.sqrt(2.0 / fan_out)
+        w = std * jax.random.normal(
+            wkey, (kd, kh, kw, self.in_channels // self.groups,
+                   self.out_channels), dtype=jnp.float32)
+        params = {"weight": w}
+        if self.use_bias:
+            bound = 1.0 / math.sqrt(fan_in)
+            params["bias"] = jax.random.uniform(
+                bkey, (self.out_channels,), minval=-bound, maxval=bound,
+                dtype=jnp.float32)
+        return params
+
+    def _torch_leaves(self):
+        # torch (O, I, kd, kh, kw) -> DHWIO
+        leaves = {"weight": lambda w: np.transpose(w, (2, 3, 4, 1, 0))}
+        if self.use_bias:
+            leaves["bias"] = lambda b: b
+        return leaves
+
+    def __call__(self, params, x, **kwargs):
+        y = jax.lax.conv_general_dilated(
+            x, params["weight"].astype(x.dtype),
+            window_strides=self.stride,
+            padding=self.padding,
+            rhs_dilation=self.dilation,
+            feature_group_count=self.groups,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        if self.use_bias:
+            y = y + params["bias"].astype(y.dtype)
+        return y
+
+
+class ConvTranspose3d(Module):
+    """Transposed 3-D conv (NDHWC); torch ``nn.ConvTranspose3d``."""
+
+    def __init__(self, in_channels: int, out_channels: int, kernel_size,
+                 stride=1, padding=0, output_padding=0, bias: bool = True):
+        super().__init__()
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = _triple(kernel_size)
+        self.stride = _triple(stride)
+        self.padding = _triple(padding)
+        self.output_padding = _triple(output_padding)
+        self.use_bias = bias
+
+    def init(self, key):
+        kd, kh, kw = self.kernel_size
+        fan_in = self.in_channels * kd * kh * kw
+        wkey, bkey = jax.random.split(key)
+        bound = 1.0 / math.sqrt(fan_in)
+        w = jax.random.uniform(
+            wkey, (kd, kh, kw, self.out_channels, self.in_channels),
+            minval=-bound, maxval=bound, dtype=jnp.float32)
+        params = {"weight": w}
+        if self.use_bias:
+            params["bias"] = jax.random.uniform(
+                bkey, (self.out_channels,), minval=-bound, maxval=bound,
+                dtype=jnp.float32)
+        return params
+
+    def _torch_leaves(self):
+        # torch (I, O, kd, kh, kw) -> DHW(O)I
+        leaves = {"weight": lambda w: np.transpose(w, (2, 3, 4, 1, 0))}
+        if self.use_bias:
+            leaves["bias"] = lambda b: b
+        return leaves
+
+    def __call__(self, params, x, **kwargs):
+        kd, kh, kw = self.kernel_size
+        sd, sh, sw = self.stride
+        pd, ph, pw = self.padding
+        od, oh, ow = self.output_padding
+        pad = ((kd - 1 - pd, kd - 1 - pd + od),
+               (kh - 1 - ph, kh - 1 - ph + oh),
+               (kw - 1 - pw, kw - 1 - pw + ow))
+        w = params["weight"].astype(x.dtype)
+        w = w[::-1, ::-1, ::-1]
+        y = jax.lax.conv_general_dilated(
+            x, jnp.swapaxes(w, 3, 4), window_strides=(1, 1, 1),
+            padding=pad, lhs_dilation=(sd, sh, sw),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if self.use_bias:
+            y = y + params["bias"].astype(y.dtype)
+        return y
+
+
 class ConvTranspose2d(Module):
     """Transposed conv (NHWC). Matches torch ``nn.ConvTranspose2d``."""
 

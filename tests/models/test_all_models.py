@@ -37,6 +37,9 @@ ARGS_OVERRIDE = {
     "craft": {"iters": 2},
     "gmflownet": {"iters": 2}, "gmflownet_mix": {"iters": 2},
     "scv4": {"iters": 2}, "scv8": {"iters": 2},
+    "matchflow": {"iters": 2, "use_tile_input": False},
+    "matchflow_raft": {"iters": 2, "use_tile_input": False},
+    "separableflow": {"iters": 2},
 }
 
 # dicl needs >=256px inputs (7px search range at 1/64); its own test file

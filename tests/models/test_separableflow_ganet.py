@@ -1,0 +1,209 @@
+"""GANet scan ops vs literal numpy transcriptions of the CUDA kernels
+(/root/reference/ptlflow/models/separableflow/libs/GANet/src/GANet_kernel.cu
+sga_*_forward, NLF_kernel.cu nlf_*_forward)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ptlflow_tpu.models.separableflow.ganet import (nlf_down, nlf_iter,
+                                                    nlf_left, nlf_right,
+                                                    nlf_up, sga)
+
+
+# ------------------------------------------------------------- numpy oracles
+def np_sga_down(x, f):
+    # x: (B, C, D, H, W); f: (B, 5, H, W)
+    b, c, d_, h, w = x.shape
+    out = x.copy()
+    for bb in range(b):
+        for cc in range(c):
+            for col in range(w):
+                kp = 0
+                for row in range(h):
+                    k = kp
+                    kp = 0
+                    for d in range(d_):
+                        t = out[bb, cc, d, row, col] * f[bb, 0, row, col]
+                        def prev(dd):
+                            return out[bb, cc, dd, row - 1, col]
+                        cur = x[bb, cc, d, row, col]
+                        t += (prev(d) if row > 0 else cur) * f[bb, 1, row, col]
+                        t += (prev(d - 1) if row > 0 and d > 0 else cur) * \
+                            f[bb, 2, row, col]
+                        t += (prev(d + 1) if row > 0 and d + 1 < d_ else
+                              cur) * f[bb, 3, row, col]
+                        t += (prev(k) if row > 0 else cur) * f[bb, 4, row, col]
+                        out[bb, cc, d, row, col] = t
+                        if out[bb, cc, kp, row, col] < t:
+                            kp = d
+    return out
+
+
+def np_sga_up(x, f):
+    b, c, d_, h, w = x.shape
+    out = x.copy()
+    for bb in range(b):
+        for cc in range(c):
+            for col in range(w):
+                kp = 0
+                for row in range(h - 1, -1, -1):
+                    k = kp
+                    kp = 0
+                    for d in range(d_):
+                        t = out[bb, cc, d, row, col] * f[bb, 0, row, col]
+                        def prev(dd):
+                            return out[bb, cc, dd, row + 1, col]
+                        cur = x[bb, cc, d, row, col]
+                        t += (prev(d) if row + 1 < h else cur) * \
+                            f[bb, 1, row, col]
+                        t += (prev(d - 1) if row + 1 < h and d > 0 else cur) \
+                            * f[bb, 2, row, col]
+                        t += (prev(d + 1) if row + 1 < h and d + 1 < d_ else
+                              cur) * f[bb, 3, row, col]
+                        t += (prev(k) if row + 1 < h else cur) * \
+                            f[bb, 4, row, col]
+                        out[bb, cc, d, row, col] = t
+                        if out[bb, cc, kp, row, col] < t:
+                            kp = d
+    return out
+
+
+def np_nlf_down(x, f):
+    # x: (B, C, H, W); f: (B, 5, H, W); NLF_kernel.cu:22-78
+    b, c, h, w = x.shape
+    out = x.copy()
+    for bb in range(b):
+        for cc in range(c):
+            for row in range(h):
+                for col in range(w):
+                    cur = out[bb, cc, row, col]
+                    t = cur * f[bb, 0, row, col]
+                    t += (out[bb, cc, row - 1, col] if row > 0 else cur) * \
+                        f[bb, 1, row, col]
+                    t += (out[bb, cc, row - 1, col - 1]
+                          if row > 0 and col > 0 else cur) * \
+                        f[bb, 2, row, col]
+                    t += (out[bb, cc, row - 1, col + 1]
+                          if row > 0 and col + 1 < w else cur) * \
+                        f[bb, 3, row, col]
+                    t += (out[bb, cc, row, col - 1] if col > 0 else cur) * \
+                        f[bb, 4, row, col]
+                    out[bb, cc, row, col] = t
+    return out
+
+
+def np_nlf_up(x, f):
+    b, c, h, w = x.shape
+    out = x.copy()
+    for bb in range(b):
+        for cc in range(c):
+            for row in range(h - 1, -1, -1):
+                for col in range(w - 1, -1, -1):
+                    cur = out[bb, cc, row, col]
+                    t = cur * f[bb, 0, row, col]
+                    t += (out[bb, cc, row + 1, col] if row + 1 < h else cur) \
+                        * f[bb, 1, row, col]
+                    t += (out[bb, cc, row + 1, col - 1]
+                          if row + 1 < h and col > 0 else cur) * \
+                        f[bb, 2, row, col]
+                    t += (out[bb, cc, row + 1, col + 1]
+                          if row + 1 < h and col + 1 < w else cur) * \
+                        f[bb, 3, row, col]
+                    t += (out[bb, cc, row, col + 1] if col + 1 < w else cur) \
+                        * f[bb, 4, row, col]
+                    out[bb, cc, row, col] = t
+    return out
+
+
+def np_nlf_right(x, f):
+    b, c, h, w = x.shape
+    out = x.copy()
+    for bb in range(b):
+        for cc in range(c):
+            for col in range(w):
+                for row in range(h):
+                    cur = out[bb, cc, row, col]
+                    t = cur * f[bb, 0, row, col]
+                    t += (out[bb, cc, row, col - 1] if col > 0 else cur) * \
+                        f[bb, 1, row, col]
+                    t += (out[bb, cc, row - 1, col - 1]
+                          if col > 0 and row > 0 else cur) * \
+                        f[bb, 2, row, col]
+                    t += (out[bb, cc, row + 1, col - 1]
+                          if col > 0 and row + 1 < h else cur) * \
+                        f[bb, 3, row, col]
+                    t += (out[bb, cc, row - 1, col] if row > 0 else cur) * \
+                        f[bb, 4, row, col]
+                    out[bb, cc, row, col] = t
+    return out
+
+
+def np_nlf_left(x, f):
+    b, c, h, w = x.shape
+    out = x.copy()
+    for bb in range(b):
+        for cc in range(c):
+            for col in range(w - 1, -1, -1):
+                for row in range(h - 1, -1, -1):
+                    cur = out[bb, cc, row, col]
+                    t = cur * f[bb, 0, row, col]
+                    t += (out[bb, cc, row, col + 1] if col + 1 < w else cur) \
+                        * f[bb, 1, row, col]
+                    t += (out[bb, cc, row - 1, col + 1]
+                          if col + 1 < w and row > 0 else cur) * \
+                        f[bb, 2, row, col]
+                    t += (out[bb, cc, row + 1, col + 1]
+                          if col + 1 < w and row + 1 < h else cur) * \
+                        f[bb, 3, row, col]
+                    t += (out[bb, cc, row + 1, col] if row + 1 < h else cur) \
+                        * f[bb, 4, row, col]
+                    out[bb, cc, row, col] = t
+    return out
+
+
+def _rand_guidance(rng, b, h, w):
+    g = rng.rand(b, 5, h, w).astype(np.float32) + 0.1
+    return g / g.sum(1, keepdims=True)
+
+
+def test_nlf_directions_parity():
+    rng = np.random.RandomState(0)
+    b, c, h, w = 1, 3, 6, 7
+    x = rng.randn(b, c, h, w).astype(np.float32)
+    for jfn, nfn in ((nlf_down, np_nlf_down), (nlf_up, np_nlf_up),
+                     (nlf_right, np_nlf_right), (nlf_left, np_nlf_left)):
+        g = _rand_guidance(rng, b, h, w)
+        got = np.asarray(jfn(jnp.asarray(x), jnp.asarray(g)))
+        want = nfn(x, g)
+        np.testing.assert_allclose(got, want, atol=1e-4,
+                                   err_msg=jfn.__name__)
+
+
+def test_nlf_iter_chain():
+    rng = np.random.RandomState(1)
+    b, c, h, w = 1, 2, 5, 6
+    x = rng.randn(b, c, h, w).astype(np.float32)
+    gs = [_rand_guidance(rng, b, h, w) for _ in range(4)]
+    got = np.asarray(nlf_iter(jnp.asarray(x), *map(jnp.asarray, gs)))
+    want = np_nlf_left(np_nlf_right(np_nlf_up(np_nlf_down(x, gs[0]), gs[1]),
+                                    gs[2]), gs[3])
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_sga_parity():
+    rng = np.random.RandomState(2)
+    b, c, d, h, w = 1, 2, 5, 6, 7
+    x = rng.randn(b, c, d, h, w).astype(np.float32)
+    gs = [_rand_guidance(rng, b, h, w) for _ in range(4)]
+    got = np.asarray(sga(jnp.asarray(x), *map(jnp.asarray, gs)))
+
+    down = np_sga_down(x, gs[0])
+    up = np_sga_up(x, gs[1])
+    # right/left via the H<->W transpose of down/up (matching the kernels)
+    xt = x.transpose(0, 1, 2, 4, 3)
+    gt = [g.transpose(0, 1, 3, 2) for g in gs]
+    right = np_sga_down(xt, gt[2]).transpose(0, 1, 2, 4, 3)
+    left = np_sga_up(xt, gt[3]).transpose(0, 1, 2, 4, 3)
+    want = np.maximum(np.maximum(down, up), np.maximum(right, left))
+    np.testing.assert_allclose(got, want, atol=1e-4)
