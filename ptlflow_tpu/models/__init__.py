@@ -7,6 +7,7 @@ from .gmflownet import gmflownet, gmflownet_mix  # noqa: F401
 from .matchflow import matchflow, matchflow_raft  # noqa: F401
 from .scv import scv4, scv8  # noqa: F401
 from .separableflow import separableflow  # noqa: F401
+from .streamflow import streamflow  # noqa: F401
 from .sea_raft import sea_raft, sea_raft_s, sea_raft_m, sea_raft_l  # noqa: F401
 from .gmflow import gmflow, gmflow_refine  # noqa: F401
 from .pwcnet import pwcnet, pwcnet_nodc  # noqa: F401

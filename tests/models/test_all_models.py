@@ -47,6 +47,7 @@ ARGS_OVERRIDE = {
 
 # models exercised heavily by their own dedicated test files
 SKIP = {"dicl", "memfof",  # need >=256px / >=128px; own test files
+        "streamflow",  # needs 4 frames; covered by test_streamflow.py
         # DINOv3 weights are gated; construction raises (parity with the
         # reference, which needs a local thirdparty/dinov3 checkout)
         "waft_dinov3_a2"}
