@@ -11,6 +11,7 @@ from .streamflow import streamflow  # noqa: F401
 from .sea_raft import sea_raft, sea_raft_s, sea_raft_m, sea_raft_l  # noqa: F401
 from .gmflow import gmflow, gmflow_refine  # noqa: F401
 from .pwcnet import pwcnet, pwcnet_nodc  # noqa: F401
+from .flowformerplusplus import flowformer_pp  # noqa: F401
 from .flownet import (  # noqa: F401
     flownets, flownetc, flownetsd, flownetcs, flownetcss, flownet2,
 )

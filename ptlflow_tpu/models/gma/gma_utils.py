@@ -41,6 +41,11 @@ class RelPosEmb(nn.Module):
         self.rel_height = Embedding(2 * max_pos_size - 1, dim_head)
         self.rel_width = Embedding(2 * max_pos_size - 1, dim_head)
 
+    def from_torch(self, flat, strict=True, _path=""):
+        # rel_ind is a persistent torch buffer we rebuild statically
+        flat = {k: v for k, v in flat.items() if k != "rel_ind"}
+        return super().from_torch(flat, strict=strict, _path=_path)
+
     def __call__(self, params, q, **kw):
         # q: (B, heads, H, W, d)
         b, heads, h, w, d = q.shape

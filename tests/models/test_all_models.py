@@ -40,6 +40,7 @@ ARGS_OVERRIDE = {
     "matchflow": {"iters": 2, "use_tile_input": False},
     "matchflow_raft": {"iters": 2, "use_tile_input": False},
     "separableflow": {"iters": 2},
+    "flowformer_pp": {"decoder_depth": 2, "use_tile_input": False},
 }
 
 # dicl needs >=256px inputs (7px search range at 1/64); its own test file
