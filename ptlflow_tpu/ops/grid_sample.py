@@ -108,9 +108,9 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, mode: str = "bilinear",
 
 
 def bilinear_sampler(img: jnp.ndarray, coords: jnp.ndarray,
-                     mask: bool = False):
+                     mask: bool = False, padding_mode: str = "zeros"):
     """Pixel-coordinate sampler, matching the reference ``bilinear_sampler``
-    (align_corners=True, zero padding).
+    (align_corners=True; zero or border padding).
 
     img: (N, H, W, C); coords: (N, Ho, Wo, 2) in *pixel* coordinates (x, y).
     """
@@ -118,7 +118,7 @@ def bilinear_sampler(img: jnp.ndarray, coords: jnp.ndarray,
     xgrid = 2.0 * coords[..., 0] / (w - 1) - 1.0
     ygrid = 2.0 * coords[..., 1] / (h - 1) - 1.0
     grid = jnp.stack([xgrid, ygrid], axis=-1)
-    out = grid_sample(img, grid, mode="bilinear", padding_mode="zeros",
+    out = grid_sample(img, grid, mode="bilinear", padding_mode=padding_mode,
                       align_corners=True)
     if mask:
         m = ((xgrid > -1) & (ygrid > -1) & (xgrid < 1) & (ygrid < 1))

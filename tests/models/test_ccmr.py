@@ -21,12 +21,16 @@ REF = "/root/reference/ptlflow/models/ccmr"
 def _install_stubs():
     timm = sys.modules.get("timm") or types.ModuleType("timm")
     models = getattr(timm, "models", None) or types.ModuleType("timm.models")
-    vt = types.ModuleType("timm.models.vision_transformer")
-    vt.Mlp = None  # shadowed by the reference's own Mlp
-    layers = types.ModuleType("timm.models.layers")
-    layers.DropPath = torch.nn.Identity
-    layers.trunc_normal_ = lambda t, std=0.02: t
-    layers.to_2tuple = lambda x: (x, x) if not isinstance(x, tuple) else x
+    vt = sys.modules.get("timm.models.vision_transformer") or \
+        types.ModuleType("timm.models.vision_transformer")
+    if not hasattr(vt, "Mlp"):
+        vt.Mlp = None  # shadowed by the reference's own Mlp
+    layers = sys.modules.get("timm.models.layers") or \
+        types.ModuleType("timm.models.layers")
+    if not hasattr(layers, "DropPath"):
+        layers.DropPath = torch.nn.Identity
+        layers.trunc_normal_ = lambda t, std=0.02: t
+        layers.to_2tuple = lambda x: (x, x) if not isinstance(x, tuple) else x
     models.vision_transformer = vt
     models.layers = layers
     timm.models = models

@@ -22,9 +22,14 @@ REF = "/root/reference/ptlflow/models/flowformer"
 
 
 def _install_timm_stub():
-    if "timm" in sys.modules:
+    """Install (or enrich) a comprehensive fake ``timm`` covering every
+    reference oracle in this test suite.  Merging + idempotent: safe to call
+    from any fixture in any order."""
+    timm = sys.modules.get("timm")
+    if getattr(timm, "_ptlflow_rich", False):
         return
-    timm = types.ModuleType("timm")
+    timm = timm or types.ModuleType("timm")
+    timm._ptlflow_rich = True
     layers = types.ModuleType("timm.layers")
 
     class Mlp(torch.nn.Module):
@@ -66,10 +71,29 @@ def _install_timm_stub():
     vt = types.ModuleType("timm.models.vision_transformer")
 
     class Attention(torch.nn.Module):
-        def __init__(self, *a, **k):
+        """Functioning modern-timm ViT attention (fused qkv)."""
+
+        def __init__(self, dim, num_heads=8, qkv_bias=False, qk_norm=False,
+                     attn_drop=0.0, proj_drop=0.0, norm_layer=None):
             super().__init__()
+            self.num_heads = num_heads
+            self.scale = (dim // num_heads) ** -0.5
+            self.qkv = torch.nn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.proj = torch.nn.Linear(dim, dim)
+
+        def forward(self, x):
+            b, n, c = x.shape
+            h = self.num_heads
+            qkv = self.qkv(x).reshape(b, n, 3, h, c // h).permute(
+                2, 0, 3, 1, 4)
+            q, k, v = qkv.unbind(0)
+            attn = (q * self.scale) @ k.transpose(-2, -1)
+            attn = attn.softmax(dim=-1)
+            x = (attn @ v).transpose(1, 2).reshape(b, n, c)
+            return self.proj(x)
 
     vt.Attention = Attention
+    vt.Mlp = Mlp
     models.vision_transformer = vt
     fx = types.ModuleType("timm.models.fx_features")
     fx.register_notrace_module = lambda cls: cls
@@ -80,12 +104,17 @@ def _install_timm_stub():
     models.fx_features = fx
     models.registry = registry
     models.helpers = helpers
+    mlayers = types.ModuleType("timm.models.layers")
+    for sym in ("Mlp", "DropPath", "to_2tuple", "trunc_normal_"):
+        setattr(mlayers, sym, getattr(layers, sym))
+    models.layers = mlayers
     timm.layers = layers
     timm.data = data
     timm.models = models
     sys.modules.update({
         "timm": timm, "timm.layers": layers, "timm.data": data,
         "timm.models": models, "timm.models.vision_transformer": vt,
+        "timm.models.layers": mlayers,
         "timm.models.fx_features": fx, "timm.models.registry": registry,
         "timm.models.helpers": helpers})
 

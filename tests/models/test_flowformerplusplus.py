@@ -21,18 +21,9 @@ REF = "/root/reference/ptlflow/models/flowformerplusplus/FlowFormer/" \
 
 @pytest.fixture(scope="module")
 def ref():
-    class DropPath(torch.nn.Module):
-        def __init__(self, p=0.0):
-            super().__init__()
+    from tests.models.test_flowformer import _install_timm_stub
 
-        def forward(self, x):
-            return x
-
-    timm = types.ModuleType("timm")
-    layers = types.ModuleType("timm.layers")
-    layers.DropPath = DropPath
-    sys.modules.setdefault("timm", timm)
-    sys.modules["timm.layers"] = layers
+    _install_timm_stub()
     pu = types.ModuleType("ptlflow.utils.utils")
     pu.forward_interpolate_batch = lambda x: x
     sys.modules.setdefault("ptlflow", types.ModuleType("ptlflow"))

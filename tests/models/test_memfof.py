@@ -21,7 +21,8 @@ REF = "/root/reference/ptlflow/models/memfof"
 
 
 def _install_torchvision_stub():
-    if "torchvision" in sys.modules:
+    tv_existing = sys.modules.get("torchvision")
+    if getattr(getattr(tv_existing, "models", None), "get_model", None):
         return
 
     class TVBasicBlock(torch.nn.Module):
@@ -68,12 +69,14 @@ def _install_torchvision_stub():
             self.avgpool = torch.nn.AdaptiveAvgPool2d(1)
             self.fc = torch.nn.Linear(512, 1000)
 
-    tv = types.ModuleType("torchvision")
-    tvm = types.ModuleType("torchvision.models")
+    tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+    tvm = getattr(tv, "models", None) or \
+        types.ModuleType("torchvision.models")
     tvm.get_model = lambda name, weights=None: ResNet(
         {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3)}[name])
     tvm.WeightsEnum = object
     tvm.ResNet34_Weights = types.SimpleNamespace(IMAGENET1K_V1=None)
+    tvm.ResNet18_Weights = types.SimpleNamespace(IMAGENET1K_V1=None)
     tv.models = tvm
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = tvm

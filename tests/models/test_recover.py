@@ -27,8 +27,8 @@ def _make_divisible(v, divisor=8):
 
 
 def _install_torchvision_stub():
-    if "torchvision" in sys.modules and \
-            hasattr(sys.modules["torchvision"].models, "mobilenetv3"):
+    if hasattr(getattr(sys.modules.get("torchvision"), "models", None),
+               "mobilenetv3"):
         return
 
     class Conv2dNormActivation(torch.nn.Sequential):

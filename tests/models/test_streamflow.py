@@ -65,19 +65,9 @@ class _DropPath(torch.nn.Module):
 
 @pytest.fixture(scope="module")
 def ref():
-    timm = types.ModuleType("timm")
-    models = types.ModuleType("timm.models")
-    vt = types.ModuleType("timm.models.vision_transformer")
-    vt.Attention = _TimmAttention
-    layers = types.ModuleType("timm.models.layers")
-    layers.DropPath = _DropPath
-    layers.Mlp = _TimmMlp
-    for name, mod in (("timm", timm), ("timm.models", models),
-                      ("timm.models.vision_transformer", vt),
-                      ("timm.models.layers", layers)):
-        sys.modules.setdefault(name, mod)
-    sys.modules["timm.models.vision_transformer"] = vt
-    sys.modules["timm.models.layers"] = layers
+    from tests.models.test_flowformer import _install_timm_stub
+
+    _install_timm_stub()
 
     pkg = types.ModuleType("refst")
     pkg.__path__ = [REF]
