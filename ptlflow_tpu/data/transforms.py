@@ -395,3 +395,173 @@ class GenerateFBCheckFlowOcclusion:
         inputs["occs_b"] = np.asarray(
             occ_of(bw, fw))[:, None].astype(np.float32)
         return inputs
+
+
+def _np_grid_sample(x: np.ndarray, grid: np.ndarray,
+                    mode: str = "bilinear") -> np.ndarray:
+    """torch F.grid_sample on NCHW numpy input (align_corners=True for
+    bilinear, torch default semantics for nearest), zero padding.
+
+    grid: (N, H, W, 2) normalized coords in [-1, 1].
+    """
+    n, c, h, w = x.shape
+    if mode == "nearest":
+        # torch default align_corners=False mapping (the reference calls
+        # nearest grid_sample without align_corners)
+        gx = ((grid[..., 0] + 1) * w - 1) / 2
+        gy = ((grid[..., 1] + 1) * h - 1) / 2
+        ix = np.round(gx).astype(np.int64)
+        iy = np.round(gy).astype(np.int64)
+        valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        ixc = np.clip(ix, 0, w - 1)
+        iyc = np.clip(iy, 0, h - 1)
+        out = x[np.arange(n)[:, None, None], :, iyc, ixc]
+        out = np.moveaxis(out, -1, 1) * valid[:, None].astype(x.dtype)
+        return out
+    gx = (grid[..., 0] + 1) * (w - 1) / 2
+    gy = (grid[..., 1] + 1) * (h - 1) / 2
+    x0 = np.floor(gx).astype(np.int64)
+    y0 = np.floor(gy).astype(np.int64)
+    fx = (gx - x0).astype(x.dtype)
+    fy = (gy - y0).astype(x.dtype)
+    out = np.zeros_like(x)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0 + dx
+            yi = y0 + dy
+            wgt = (fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+            valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            xic = np.clip(xi, 0, w - 1)
+            yic = np.clip(yi, 0, h - 1)
+            v = x[np.arange(n)[:, None, None], :, yic, xic]
+            v = np.moveaxis(v, -1, 1)
+            out = out + v * (wgt * valid.astype(x.dtype))[:, None]
+    return out
+
+
+class RandomTranslate:
+    """Alternated-crop translation between consecutive frames
+    (flow_transforms.py:879-962)."""
+
+    def __init__(self, translation=0):
+        if not isinstance(translation, (tuple, list)):
+            translation = (translation, translation)
+        self.translation = tuple(translation)
+
+    def __call__(self, inputs):
+        if "flows" not in inputs:
+            return inputs
+        _, _, h, w = inputs["flows"].shape
+        th, tw = self.translation
+        tw = random.randint(-tw, tw)
+        th = random.randint(-th, th)
+        if tw == 0 and th == 0:
+            return inputs
+        out = {}
+        for t in range(2):
+            ftw, fth = (tw, th) if t == 0 else (-tw, -th)
+            x1, x2 = max(0, ftw), min(w + ftw, w)
+            y1, y2 = max(0, fth), min(h + fth, h)
+            for k, v in inputs.items():
+                if not _is_array(v):
+                    out[k] = v
+                    continue
+                if k not in out:
+                    out[k] = np.empty_like(
+                        v[:, :, :h - abs(th), :w - abs(tw)])
+                out[k][t::2] = v[t::2, :, y1:y2, x1:x2]
+                if k in FLOW_KEYS:
+                    out[k][t::2, 0] += ftw
+                    out[k][t::2, 1] += fth
+        for occ_key, flow_key in zip(OCC_KEYS, FLOW_KEYS):
+            if occ_key in out and flow_key in out:
+                out[occ_key] = _update_oob_flows(out[occ_key],
+                                                 out[flow_key])
+        return out
+
+
+class RandomRotate:
+    """Alternated rotation around the image center
+    (flow_transforms.py:964-1140): a shared major angle plus an alternating
+    inter-frame angle; flows get the rotation-field offset added and their
+    components rotated (twice, reproducing the reference's behavior
+    exactly)."""
+
+    def __init__(self, angle: float = 0.0, diff_angle: float = 0.0,
+                 sparse: bool = False):
+        self.angle = angle
+        self.diff_angle = diff_angle
+        self.sparse = sparse
+
+    def __call__(self, inputs):
+        if "flows" not in inputs:
+            return inputs
+        major_angle = random.uniform(-self.angle, self.angle)
+        inter_angle = random.uniform(-self.diff_angle, self.diff_angle)
+        b, _, h, w = inputs["flows"].shape
+
+        def rotation_grid(rot_angle, batch):
+            vy, vx = np.meshgrid(np.arange(h, dtype=np.float32),
+                                 np.arange(w, dtype=np.float32),
+                                 indexing="ij")
+            vx = vx - (w - 1.0) / 2.0
+            vy = vy - (h - 1.0) / 2.0
+            rad = rot_angle * 2 * np.pi / 360
+            rotx = (np.cos(rad) * vx - np.sin(rad) * vy) / ((w - 1) / 2)
+            roty = (np.sin(rad) * vx + np.cos(rad) * vy) / ((h - 1) / 2)
+            g = np.stack([rotx, roty], axis=2)[None]
+            return np.repeat(g, batch, axis=0)
+
+        def rotation_matrix(rot_angle, batch):
+            vx, vy = np.meshgrid(np.arange(h, dtype=np.float32),
+                                 np.arange(w, dtype=np.float32),
+                                 indexing="ij")
+            rotx = (vx - h / 2.0) * (rot_angle * np.pi / 180.0)
+            roty = -(vy - w / 2.0) * (rot_angle * np.pi / 180.0)
+            m = np.stack([rotx, roty], axis=0)[None]
+            return np.repeat(m, batch, axis=0)
+
+        def rotate_flow(flow, rot_angle):
+            rad = rot_angle * 2 * np.pi / 360
+            rot = flow.copy()
+            rot[:, 0] = np.cos(rad) * flow[:, 0] + np.sin(rad) * flow[:, 1]
+            rot[:, 1] = -np.sin(rad) * flow[:, 0] + np.cos(rad) * flow[:, 1]
+            return rot
+
+        rot_mat = rotation_matrix(inter_angle, b // 2 + 1)
+        for t in range(2):
+            inangle = -inter_angle if t == 0 else inter_angle
+            rmat = rot_mat if t == 0 else -rot_mat
+            angle = major_angle + inangle / 2
+            num_flows = inputs["flows"][t::2].shape[0]
+            grid = rotation_grid(angle, num_flows + 1)
+            for k in list(inputs.keys()):
+                v = inputs[k]
+                if not _is_array(v):
+                    continue
+                if k in FLOW_KEYS:
+                    v = v.copy()
+                    v[t::2] += rmat[:num_flows]
+                sel = v[t::2]
+                if k in BINARY_KEYS:
+                    v[t::2] = _np_grid_sample(sel, grid[:sel.shape[0]],
+                                              mode="nearest")
+                else:
+                    if k in FLOW_KEYS:
+                        mode = "nearest" if self.sparse else "bilinear"
+                        v[t::2] = _np_grid_sample(sel, grid[:sel.shape[0]],
+                                                  mode=mode)
+                        v[t::2] = rotate_flow(v[t::2], angle)
+                    else:
+                        v[t::2] = _np_grid_sample(sel, grid[:sel.shape[0]],
+                                                  mode="bilinear")
+                if k in FLOW_KEYS:
+                    # the reference applies rotate_flow a second time here
+                    # (flow_transforms.py:1125-1126); reproduced faithfully
+                    v[t::2] = rotate_flow(v[t::2], angle)
+                inputs[k] = v
+        for occ_key, flow_key in zip(OCC_KEYS, FLOW_KEYS):
+            if occ_key in inputs and flow_key in inputs:
+                inputs[occ_key] = _update_oob_flows(inputs[occ_key],
+                                                    inputs[flow_key])
+        return inputs

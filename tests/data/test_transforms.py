@@ -132,3 +132,50 @@ def test_compose():
     t = T.Compose([T.Resize((16, 20)), T.CenterCrop((8, 10))])
     out = t(dict(d))
     assert out["images"].shape == (2, 3, 8, 10)
+
+
+def test_np_grid_sample_matches_torch():
+    import torch
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 3, 9, 11).astype(np.float32)
+    grid = (rng.rand(2, 9, 11, 2) * 2.4 - 1.2).astype(np.float32)
+    for mode, ac in (("bilinear", True), ("nearest", False)):
+        want = torch.nn.functional.grid_sample(
+            torch.from_numpy(x), torch.from_numpy(grid), mode=mode,
+            align_corners=True if mode == "bilinear" else None).numpy()
+        got = T._np_grid_sample(x, grid, mode=mode)
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=mode)
+
+
+def test_random_translate():
+    random.seed(3)
+    d = _inputs(h=40, w=48)
+    t = T.RandomTranslate(translation=(6, 8))
+    out = t({k: v.copy() for k, v in d.items()})
+    # all arrays cropped consistently
+    shapes = {v.shape[-2:] for v in out.values()}
+    assert len(shapes) == 1
+    oh, ow = next(iter(shapes))
+    assert 40 - 6 <= oh <= 40 and 48 - 8 <= ow <= 48
+    # flow compensated by the translation: constant-flow field stays
+    # constant after adding the per-frame offset
+    d2 = _inputs(h=40, w=48)
+    d2["flows"][:] = 0.0
+    out2 = T.RandomTranslate(translation=(4, 4))(
+        {k: v.copy() for k, v in d2.items()})
+    u = np.unique(out2["flows"][0, 0])
+    v = np.unique(out2["flows"][0, 1])
+    assert u.size == 1 and v.size == 1  # a single global offset
+
+
+def test_random_rotate():
+    random.seed(5)
+    d = _inputs(h=32, w=32)
+    t = T.RandomRotate(angle=10.0, diff_angle=2.0)
+    out = t({k: v.copy() for k, v in d.items()})
+    assert out["images"].shape == (2, 3, 32, 32)
+    assert out["flows"].shape == (1, 2, 32, 32)
+    assert np.isfinite(out["flows"]).all()
+    # binary masks stay binary under nearest sampling
+    assert set(np.unique(out["valids"])) <= {0.0, 1.0}
