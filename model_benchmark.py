@@ -35,6 +35,10 @@ def _parse_args():
     parser.add_argument("--output_path", type=str,
                         default="outputs/benchmark")
     parser.add_argument("--plot", action="store_true")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of one forward "
+                             "into <output_path>/trace (reference parity: "
+                             "model_benchmark.py torch.profiler path)")
     return parser.parse_args()
 
 
@@ -51,7 +55,8 @@ def count_flops(fwd, params, inputs):
         return float("nan")
 
 
-def benchmark_one(name: str, dtype: str, input_size, iters, num_samples):
+def benchmark_one(name: str, dtype: str, input_size, iters, num_samples,
+                  profile_dir=None):
     import jax
     import jax.numpy as jnp
     from ptlflow_tpu.utils.timing import measure_latency
@@ -79,6 +84,15 @@ def benchmark_one(name: str, dtype: str, input_size, iters, num_samples):
     flops = count_flops(fwd, params, inputs)
     latency = measure_latency(fwd, params, inputs, n_chain=num_samples,
                               repeats=2)
+    if profile_dir is not None:
+        try:
+            jfwd = jax.jit(fwd)
+            jax.block_until_ready(jfwd(params, inputs))
+            with jax.profiler.trace(str(profile_dir)):
+                jax.block_until_ready(jfwd(params, inputs))
+            print(f"profiler trace written to {profile_dir}")
+        except Exception as e:  # some backends expose no profiler
+            print(f"[profile unavailable] {e}")
     return {
         "model": name, "datatype": dtype,
         "input_h": h, "input_w": w,
@@ -100,8 +114,11 @@ def main():
     for name in names:
         for dtype in args.datatypes:
             try:
-                row = benchmark_one(name, dtype, args.input_size, args.iters,
-                                    args.num_samples)
+                row = benchmark_one(
+                    name, dtype, args.input_size, args.iters,
+                    args.num_samples,
+                    profile_dir=(out_dir / "trace" if args.profile
+                                 else None))
                 rows.append(row)
                 print(f"{name} [{dtype}]: {row['time_ms']:.2f} ms, "
                       f"{row['params'] / 1e6:.2f} M params, "
