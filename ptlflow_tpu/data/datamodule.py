@@ -522,15 +522,73 @@ class FlowDataModule:
 
     def _get_sintel_finetune_dataset(self, is_train: bool, *args):
         """The canonical RAFT sintel-finetune mixture
-        (flow_datamodule.py:756-930): 100*sintel + 200*kitti + 5*hd1k +
-        things(clean)."""
+        (flow_datamodule.py:756-935): things(clean) + sintel-clean*M +
+        sintel-final*M + kitti2015*K + hd1k*H, where (M, K, H) =
+        (100, 200, 5) by default or (20, 80, 30) with the ``searaft_split``
+        arg (SEA-RAFT's TSKH mixture).  ``fbocc`` appends the
+        forward-backward occlusion-check transform, as in the reference.
+
+        Note: the reference's dpflow-train3 config selects
+        ``sintel-searaft_split``, which its own ``_get_sintel_dataset``
+        rejects (flow_datamodule.py:693-706 ``raise ValueError``); the
+        working selector is ``sintel_finetune-searaft_split``.
+        """
         assert is_train
+        fbocc = False
+        searaft = False
+        for v in args:
+            if v == "fbocc":
+                fbocc = True
+            elif v == "searaft_split":
+                searaft = True
+            else:
+                raise ValueError(f"Invalid arg: {v}")
+
+        cy, cx = self._crop((368, 768))
+        fb = [ft.GenerateFBCheckFlowOcclusion(threshold=1)] if fbocc else []
+        # Dense parts (things + both sintel passes); no GaussianNoise in the
+        # finetune recipe (flow_datamodule.py:788-803).
+        transform1 = ft.Compose([
+            ft.RandomScaleAndCrop((cy, cx), (-0.2, 0.6), (-0.2, 0.2)),
+            ft.ColorJitter(0.4, 0.4, 0.4, 0.5 / 3.14, 0.2),
+            ft.RandomPatchEraser(0.5, ((50, 100), (50, 100)), 3, "mean"),
+            ft.RandomFlip(0.5, 0.1),
+        ] + fb)
+        transform2 = ft.Compose([
+            ft.RandomScaleAndCrop((cy, cx), (-0.3, 0.5), (-0.2, 0.2),
+                                  sparse=True),
+            ft.ColorJitter(0.4, 0.4, 0.4, 0.5 / 3.14, 0.2),
+            ft.RandomPatchEraser(0.5, ((50, 100), (50, 100)), 3, "mean"),
+            ft.RandomFlip(0.5, 0.1),
+        ] + fb)
+        transform3 = ft.Compose([
+            ft.RandomScaleAndCrop((cy, cx), (-0.5, 0.2), (-0.2, 0.2),
+                                  sparse=True),
+            ft.ColorJitter(0.4, 0.4, 0.4, 0.5 / 3.14, 0.2),
+            ft.RandomPatchEraser(0.5, ((50, 100), (50, 100)), 3, "mean"),
+            ft.RandomFlip(0.5, 0.1),
+        ] + fb)
+
+        things = FlyingThings3DDataset(
+            self.flying_things3d_root_dir, split="train",
+            pass_names=["clean"], side_names=["left"], transform=transform1)
+        sintel_clean = SintelDataset(
+            self.mpi_sintel_root_dir, split="trainval", pass_names=["clean"],
+            transform=transform1)
+        sintel_final = SintelDataset(
+            self.mpi_sintel_root_dir, split="trainval", pass_names=["final"],
+            transform=transform1)
+        kitti = KittiDataset(
+            self.kitti_2012_root_dir, self.kitti_2015_root_dir,
+            versions=["2015"], split="trainval", transform=transform2)
+        hd1k = Hd1kDataset(self.hd1k_root_dir, split="trainval",
+                           transform=transform3)
         parts = [
-            RepeatedDataset(self._get_sintel_dataset(True, "trainval"), 100),
-            RepeatedDataset(self._get_kitti_dataset(True, "2015", "trainval"),
-                            200),
-            RepeatedDataset(self._get_hd1k_dataset(True), 5),
-            self._get_things_dataset(True, "clean", "train"),
+            things,
+            RepeatedDataset(sintel_clean, 20 if searaft else 100),
+            RepeatedDataset(sintel_final, 20 if searaft else 100),
+            RepeatedDataset(kitti, 80 if searaft else 200),
+            RepeatedDataset(hd1k, 30 if searaft else 5),
         ]
         usable = [p for p in parts if len(p) > 0]
         return ConcatDataset(usable)
