@@ -66,11 +66,15 @@ class RAFT(BaseModel):
     def __init__(self, corr_levels: int = 4, corr_radius: int = 4,
                  dropout: float = 0.0, gamma: float = 0.8,
                  max_flow: float = 400, iters: int = 32,
-                 alternate_corr: bool = False, **kwargs):
+                 alternate_corr: bool = False, corr_dtype: str = None,
+                 **kwargs):
         super().__init__(output_stride=8,
                          loss_fn=SequenceLoss(gamma, max_flow), **kwargs)
         self.corr_levels = corr_levels
         self.corr_radius = corr_radius
+        # "bfloat16" halves cost-volume HBM traffic (the lookup bottleneck);
+        # accumulation stays fp32.  Default fp32 for exact reference parity.
+        self.corr_dtype = corr_dtype
         self.dropout = dropout
         self.gamma = gamma
         self.max_flow = max_flow
@@ -99,7 +103,8 @@ class RAFT(BaseModel):
 
         fmap1 = self.fnet(params["fnet"], image1, training=training)
         fmap2 = self.fnet(params["fnet"], image2, training=training)
-        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,
+                                     dtype=self.corr_dtype)
 
         cnet = self.cnet(params["cnet"], image1, training=training)
         net = jnp.tanh(cnet[..., :self.hidden_dim])

@@ -56,18 +56,28 @@ class SepConvGRU(nn.Module):
         self.convq2 = nn.Conv2d(hidden_dim + input_dim, hidden_dim, (5, 1),
                                 padding=(2, 0))
 
+    @staticmethod
+    def _zr(conv, pz, pr, hx):
+        """Run the z and r convs as ONE conv by concatenating their kernels
+        on the output-channel axis: same math, but ``hx`` (the widest tensor
+        in the GRU) is read from HBM once instead of twice.  The weight
+        concat is loop-invariant, so XLA CSEs it across iterations."""
+        w = jnp.concatenate([pz["weight"], pr["weight"]], axis=-1)
+        b = jnp.concatenate([pz["bias"], pr["bias"]])
+        zr = conv({"weight": w, "bias": b}, hx)
+        z, r = jnp.split(zr, 2, axis=-1)
+        return nn.sigmoid(z), nn.sigmoid(r)
+
     def __call__(self, params, h, x, **kw):
         # horizontal pass
         hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(self.convz1(params["convz1"], hx))
-        r = nn.sigmoid(self.convr1(params["convr1"], hx))
+        z, r = self._zr(self.convz1, params["convz1"], params["convr1"], hx)
         q = nn.tanh(self.convq1(params["convq1"],
                                 jnp.concatenate([r * h, x], axis=-1)))
         h = (1 - z) * h + z * q
         # vertical pass
         hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(self.convz2(params["convz2"], hx))
-        r = nn.sigmoid(self.convr2(params["convr2"], hx))
+        z, r = self._zr(self.convz2, params["convz2"], params["convr2"], hx)
         q = nn.tanh(self.convq2(params["convq2"],
                                 jnp.concatenate([r * h, x], axis=-1)))
         return (1 - z) * h + z * q

@@ -58,10 +58,19 @@ def all_pairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray
 
 
 def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
-                       num_levels: int = 4) -> List[jnp.ndarray]:
-    """List of (B*H1*W1, H2/2^i, W2/2^i, 1) volumes."""
+                       num_levels: int = 4,
+                       dtype=None) -> List[jnp.ndarray]:
+    """List of (B*H1*W1, H2/2^i, W2/2^i, 1) volumes.
+
+    ``dtype`` optionally stores the pyramid in reduced precision (bfloat16):
+    the volume is the dominant HBM traffic of the whole RAFT iteration loop
+    (~260 MB/lookup at Sintel resolution), so halving it halves lookup time;
+    accumulations stay fp32 either way.
+    """
     b, h, w, _ = fmap1.shape
     corr = all_pairs_correlation(fmap1, fmap2)
+    if dtype is not None:
+        corr = corr.astype(dtype)
     corr = corr.reshape(b * h * w, h, w, 1)
     pyramid = [corr]
     for _ in range(num_levels - 1):

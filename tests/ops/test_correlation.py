@@ -69,6 +69,27 @@ def test_corr_block_matches_torch_oracle():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
 
 
+def test_corr_pyramid_bf16_close_to_fp32():
+    """The opt-in bfloat16 pyramid (corr_dtype knob) stays within bf16
+    rounding of the fp32 path."""
+    from ptlflow_tpu.ops.correlation import (build_corr_pyramid,
+                                             corr_pyramid_lookup)
+
+    rng = np.random.RandomState(1)
+    b, h, w, c = 1, 8, 16, 32
+    f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    coords = (jnp.asarray(coords_grid(b, h, w))
+              + jnp.asarray(rng.randn(b, h, w, 2).astype(np.float32)))
+    p32 = build_corr_pyramid(f1, f2, 3)
+    pbf = build_corr_pyramid(f1, f2, 3, dtype=jnp.bfloat16)
+    assert pbf[0].dtype == jnp.bfloat16
+    o32 = np.asarray(corr_pyramid_lookup(p32, coords, 2))
+    obf = np.asarray(corr_pyramid_lookup(pbf, coords, 2).astype(jnp.float32))
+    scale = np.abs(o32).max()
+    assert np.abs(o32 - obf).max() < 0.02 * scale
+
+
 def torch_upsample_flow(flow, mask, factor=8):
     """Oracle: RAFT convex upsampling (raft.py:112-123)."""
     N, _, H, W = flow.shape
