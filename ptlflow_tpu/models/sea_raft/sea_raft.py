@@ -100,7 +100,8 @@ class SEARAFT(BaseModel):
                  pretrain: str = "resnet18", gamma: float = 0.8,
                  max_flow: float = 400, iters: int = 4,
                  alternate_corr: bool = False, use_var: bool = True,
-                 var_min: float = 0, var_max: float = 10, **kwargs):
+                 var_min: float = 0, var_max: float = 10,
+                 corr_dtype: str = None, **kwargs):
         super().__init__(output_stride=8,
                          loss_fn=SequenceLoss(gamma, max_flow), **kwargs)
         self.corr_levels = corr_levels
@@ -111,6 +112,8 @@ class SEARAFT(BaseModel):
         self.var_min = var_min
         self.var_max = var_max
         self.corr_channel = corr_levels * (corr_radius * 2 + 1) ** 2
+        # "bfloat16" halves cost-volume HBM traffic (see raft.py)
+        self.corr_dtype = corr_dtype
 
         self.cnet = ResNetFPN(block_dims=list(block_dims),
                               initial_dim=initial_dim, pretrain=pretrain,
@@ -181,7 +184,8 @@ class SEARAFT(BaseModel):
         if self.iters > 0:
             fmap1 = self.fnet(params["fnet"], image1, training=training)
             fmap2 = self.fnet(params["fnet"], image2, training=training)
-            pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+            pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,
+                                         dtype=self.corr_dtype)
             b, h, w, _ = fmap1.shape
             grid = coords_grid(b, h, w, dtype=fmap1.dtype)
             up_params = params["update_block"]
