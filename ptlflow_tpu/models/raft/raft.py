@@ -67,7 +67,7 @@ class RAFT(BaseModel):
                  dropout: float = 0.0, gamma: float = 0.8,
                  max_flow: float = 400, iters: int = 32,
                  alternate_corr: bool = False, corr_dtype: str = None,
-                 **kwargs):
+                 mixed_precision: bool = False, **kwargs):
         super().__init__(output_stride=8,
                          loss_fn=SequenceLoss(gamma, max_flow), **kwargs)
         self.corr_levels = corr_levels
@@ -75,6 +75,9 @@ class RAFT(BaseModel):
         # "bfloat16" halves cost-volume HBM traffic (the lookup bottleneck);
         # accumulation stays fp32.  Default fp32 for exact reference parity.
         self.corr_dtype = corr_dtype
+        # Inference-only bf16 for the encoders + update block (the analog of
+        # the reference's --fp16 mode); implies a bf16 corr pyramid.
+        self.mixed_precision = mixed_precision
         self.dropout = dropout
         self.gamma = gamma
         self.max_flow = max_flow
@@ -101,17 +104,28 @@ class RAFT(BaseModel):
         image1 = images[:, 0]
         image2 = images[:, 1]
 
+        amp = self.mixed_precision and not training
+        corr_dtype = jnp.bfloat16 if amp else self.corr_dtype
+        if amp:
+            params = nn.cast_params(params, jnp.bfloat16)
+            image1 = image1.astype(jnp.bfloat16)
+            image2 = image2.astype(jnp.bfloat16)
+
         fmap1 = self.fnet(params["fnet"], image1, training=training)
         fmap2 = self.fnet(params["fnet"], image2, training=training)
         pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,
-                                     dtype=self.corr_dtype)
+                                     dtype=corr_dtype)
 
         cnet = self.cnet(params["cnet"], image1, training=training)
         net = jnp.tanh(cnet[..., :self.hidden_dim])
         inp = nn.relu(cnet[..., self.hidden_dim:])
 
         b, h, w, _ = fmap1.shape
-        coords0 = coords_grid(b, h, w, dtype=fmap1.dtype)
+        # coords stay fp32 even under mixed_precision: bf16 cannot represent
+        # pixel positions ~1000 px to sub-pixel accuracy.
+        coords0 = coords_grid(b, h, w,
+                              dtype=jnp.promote_types(fmap1.dtype,
+                                                      jnp.float32))
         coords1 = coords0
 
         prev = inputs.get("prev_preds")
@@ -131,8 +145,10 @@ class RAFT(BaseModel):
             coords1 = jax.lax.stop_gradient(coords1)
             corr = corr_pyramid_lookup(pyramid, coords1, self.corr_radius)
             flow = coords1 - coords0
+            # under mixed_precision the fp32 flow would re-promote the whole
+            # update block; cast it at the boundary (coords stay fp32)
             net, up_mask, delta_flow = self.update_block(
-                up_params, net, inp, corr, flow)
+                up_params, net, inp, corr, flow.astype(net.dtype))
             coords1 = coords1 + delta_flow
             if up_mask is None:
                 up_mask = last_mask

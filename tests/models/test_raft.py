@@ -209,3 +209,29 @@ def test_registry_api():
     assert "raft" in ptlflow_tpu.get_trainable_model_names()
     ref = ptlflow_tpu.get_model_reference("raft")
     assert ref.__name__ == "raft"
+
+
+def test_raft_mixed_precision_smoke():
+    """The inference-only bf16 path emits finite fp32 flow of the right
+    shape, and training mode ignores the flag (per-dtype closeness of the
+    corr path is covered in tests/ops/test_correlation.py; end-to-end flow
+    with random weights is chaotic, so no numeric bound here)."""
+    model = ptlflow_tpu.get_model("raft",
+                                  args={"iters": 4,
+                                        "mixed_precision": True})
+    model.init_params()
+    rng = np.random.RandomState(7)
+    b, h, w = 1, 64, 96
+    inputs = {
+        "images": jnp.asarray(rng.rand(b, 2, 3, h, w).astype(np.float32)),
+        "flows": jnp.asarray(rng.randn(b, 1, 2, h, w).astype(np.float32)),
+        "valids": jnp.ones((b, 1, 1, h, w), jnp.float32),
+    }
+    got = np.asarray(model.forward(model.params, inputs,
+                                   training=False)["flows"])
+    assert got.shape == (b, 1, 2, h, w)
+    assert got.dtype == np.float32
+    assert np.isfinite(got).all()
+    out_tr = model.forward(model.params, inputs, training=True)
+    assert out_tr["flow_preds"].dtype == jnp.float32  # flag inert in training
+    assert np.isfinite(float(model.loss_fn(out_tr, inputs)))
