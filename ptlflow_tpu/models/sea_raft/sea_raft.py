@@ -101,7 +101,8 @@ class SEARAFT(BaseModel):
                  max_flow: float = 400, iters: int = 4,
                  alternate_corr: bool = False, use_var: bool = True,
                  var_min: float = 0, var_max: float = 10,
-                 corr_dtype: str = None, **kwargs):
+                 corr_dtype: str = None, mixed_precision: bool = False,
+                 **kwargs):
         super().__init__(output_stride=8,
                          loss_fn=SequenceLoss(gamma, max_flow), **kwargs)
         self.corr_levels = corr_levels
@@ -114,6 +115,8 @@ class SEARAFT(BaseModel):
         self.corr_channel = corr_levels * (corr_radius * 2 + 1) ** 2
         # "bfloat16" halves cost-volume HBM traffic (see raft.py)
         self.corr_dtype = corr_dtype
+        # inference-only bf16 compute; coords/flow accumulation stay fp32
+        self.mixed_precision = mixed_precision
 
         self.cnet = ResNetFPN(block_dims=list(block_dims),
                               initial_dim=initial_dim, pretrain=pretrain,
@@ -159,6 +162,13 @@ class SEARAFT(BaseModel):
         image1 = images[:, 0]
         image2 = images[:, 1]
 
+        amp = self.mixed_precision and not training
+        corr_dtype = jnp.bfloat16 if amp else self.corr_dtype
+        if amp:
+            params = nn.cast_params(params, jnp.bfloat16)
+            image1 = image1.astype(jnp.bfloat16)
+            image2 = image2.astype(jnp.bfloat16)
+
         cnet = self.cnet(params["cnet"],
                          jnp.concatenate([image1, image2], axis=-1),
                          training=training)
@@ -169,7 +179,8 @@ class SEARAFT(BaseModel):
         flow_update = self.flow_head(params["flow_head"], net)
         weight_update = 0.25 * self.upsample_weight(params["upsample_weight"],
                                                     net)
-        flow_8x = flow_update[..., :2]
+        # flow state accumulates in fp32 even under mixed_precision
+        flow_8x = flow_update[..., :2].astype(jnp.float32)
         info_8x = flow_update[..., 2:]
 
         flows_up = [None]
@@ -185,9 +196,11 @@ class SEARAFT(BaseModel):
             fmap1 = self.fnet(params["fnet"], image1, training=training)
             fmap2 = self.fnet(params["fnet"], image2, training=training)
             pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,
-                                         dtype=self.corr_dtype)
+                                         dtype=corr_dtype)
             b, h, w, _ = fmap1.shape
-            grid = coords_grid(b, h, w, dtype=fmap1.dtype)
+            grid = coords_grid(
+                b, h, w,
+                dtype=jnp.promote_types(fmap1.dtype, jnp.float32))
             up_params = params["update_block"]
 
             def step(carry, _):
@@ -197,11 +210,12 @@ class SEARAFT(BaseModel):
                 corr = corr_pyramid_lookup(pyramid, coords2,
                                            self.corr_radius)
                 net = self.update_block(up_params, net, context, corr,
-                                        flow_8x)
+                                        flow_8x.astype(net.dtype))
                 flow_update = self.flow_head(params["flow_head"], net)
                 weight_update = 0.25 * self.upsample_weight(
                     params["upsample_weight"], net)
-                flow_8x = flow_8x + flow_update[..., :2]
+                flow_8x = flow_8x + flow_update[..., :2].astype(
+                    jnp.float32)
                 info_8x = flow_update[..., 2:]
                 return (net, flow_8x), (flow_8x, info_8x, weight_update)
 
