@@ -79,6 +79,23 @@ def test_validate_script_scaled(sintel_cfg, tmp_path):
     assert np.isfinite(metrics["sintel-clean-trainval"]["epe"])
 
 
+def test_validate_script_bf16(sintel_cfg, tmp_path):
+    """--bf16 runs raft through the guarded mixed_precision path."""
+    import validate as validate_mod
+
+    tmp, cfg = sintel_cfg
+    args = argparse.Namespace(
+        model="raft_small", ckpt_path=None, config=None,
+        set=[f"data.dataset_config_path={cfg}"],
+        val_dataset="sintel-clean-trainval", warm_start=False,
+        output_path=str(tmp_path / "out_validate_bf16"),
+        write_outputs=False, bf16=True,
+        scale_factor=None, max_forward_side=None, iters=2, max_samples=1,
+        all=False, select=None, exclude=None)
+    metrics = validate_mod.validate(args)
+    assert np.isfinite(metrics["sintel-clean-trainval"]["epe"])
+
+
 def test_infer_script(sintel_cfg, tmp_path):
     import infer as infer_mod
 

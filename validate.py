@@ -39,6 +39,13 @@ def _parse_args():
     parser.add_argument("--max_forward_side", type=int, default=None)
     parser.add_argument("--warm_start", action="store_true")
     parser.add_argument("--iters", type=int, default=None)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 inference (analog of the reference "
+                        "--fp16, validate.py:138): models with a "
+                        "mixed_precision switch use their guarded bf16 path "
+                        "(fp32 coords/flow state); others get a generic "
+                        "bfloat16 parameter cast, which, as with the "
+                        "reference's fp16, is not supported by every model")
     parser.add_argument("--max_samples", type=int, default=None)
     return parser.parse_args()
 
@@ -136,6 +143,16 @@ def validate(args, model=None, model_name: Optional[str] = None):
             model.init_params()
     elif args.iters is not None and hasattr(model, "iters"):
         model.iters = args.iters
+
+    if getattr(args, "bf16", False):
+        if hasattr(model, "mixed_precision"):
+            model.mixed_precision = True
+        else:
+            import jax.numpy as jnp
+
+            from ptlflow_tpu import nn as _nn
+
+            model.params = _nn.cast_params(model.params, jnp.bfloat16)
 
     dm = datamodule_from_cfg(cfg, output_stride=model.output_stride,
                              val_dataset=args.val_dataset)
