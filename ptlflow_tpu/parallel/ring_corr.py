@@ -84,10 +84,10 @@ def ring_global_correlation_softmax(feature0: jnp.ndarray,
 
         # accumulators become device-varying inside the loop (they mix with
         # the device index); mark them varying from the start
-        m0 = jax.lax.pvary(jnp.full((b, hb * w, 1), -jnp.inf, jnp.float32),
-                           (axis,))
-        den0 = jax.lax.pvary(jnp.zeros((b, hb * w, 1), jnp.float32), (axis,))
-        num0 = jax.lax.pvary(jnp.zeros((b, hb * w, 2), jnp.float32), (axis,))
+        _vary = lambda x: jax.lax.pcast(x, (axis,), to="varying")
+        m0 = _vary(jnp.full((b, hb * w, 1), -jnp.inf, jnp.float32))
+        den0 = _vary(jnp.zeros((b, hb * w, 1), jnp.float32))
+        num0 = _vary(jnp.zeros((b, hb * w, 2), jnp.float32))
 
         def body(step, carry):
             m, den, num, kv = carry
