@@ -128,19 +128,51 @@ def compute_flow_metrics(
 
 
 class FlowMetrics:
-    """Epoch-mean accumulator over batches (reference average_mode default).
+    """Metric accumulator over batches.
+
+    ``average_mode`` is ``"epoch_mean"`` (default) or ``"ema"`` with
+    ``ema_decay`` and the reference's bias correction for the first
+    ``min(100, 1/(1-decay))`` steps (flow_metrics.py:82,296-303).
+    ``interpolate_pred_to_target_size`` bilinearly resizes predictions to the
+    GT resolution (align_corners=True) and rescales flow vectors
+    (flow_metrics.py:163-180).
 
     Usage: ``m.update(preds, targets)`` with the model's output/input dicts
     ((B, N, 2, H, W) contract), then ``m.compute()``.
     """
 
-    def __init__(self, prefix: str = ""):
+    def __init__(self, prefix: str = "", average_mode: str = "epoch_mean",
+                 ema_decay: float = 0.99,
+                 interpolate_pred_to_target_size: bool = False):
+        assert average_mode in ("epoch_mean", "ema")
         self.prefix = prefix
+        self.average_mode = average_mode
+        self.ema_decay = ema_decay
+        self.ema_max_count = min(100, int(1.0 / max(1.0 - ema_decay, 1e-8)))
+        self.interpolate_pred_to_target_size = interpolate_pred_to_target_size
         self.reset()
 
     def reset(self):
         self._sums: Dict[str, float] = {}
         self._count = 0
+        self._steps = 0
+
+    @staticmethod
+    def _interp_to(v, size, is_flow):
+        from ..ops.grid_sample import interpolate
+
+        h, w = int(v.shape[-2]), int(v.shape[-1])
+        if (h, w) == tuple(size):
+            return v
+        lead = v.shape[:-3]
+        x = jnp.moveaxis(v.reshape(-1, v.shape[-3], h, w), -3, -1)
+        x = interpolate(x, tuple(size), mode="bilinear", align_corners=True)
+        out = jnp.moveaxis(x, -1, -3).reshape(*lead, v.shape[-3], *size)
+        if is_flow:
+            out = out * jnp.asarray(
+                [size[1] / w, size[0] / h], out.dtype).reshape(
+                    (2,) + (1,) * 2)
+        return out
 
     @staticmethod
     def _collapse(x):
@@ -152,6 +184,14 @@ class FlowMetrics:
     def update(self, preds: Dict[str, Any], targets: Dict[str, Any]):
         tflows = jnp.asarray(targets["flows"])
         multi_hyp = tflows.ndim == 6
+        if self.interpolate_pred_to_target_size:
+            size = (int(tflows.shape[-2]), int(tflows.shape[-1]))
+            preds = {
+                k: (self._interp_to(jnp.asarray(v), size, "flow" in k)
+                    if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 4
+                    else v)
+                for k, v in preds.items()
+            }
         pf = self._collapse(preds["flows"])
         tf = tflows.reshape(-1, *tflows.shape[2:]) if multi_hyp \
             else self._collapse(tflows)
@@ -164,11 +204,23 @@ class FlowMetrics:
             pf, tf, valids=opt(targets, "valids"), occs=opt(targets, "occs"),
             pred_occs=opt(preds, "occs"), mbs=opt(targets, "mbs"),
             pred_mbs=opt(preds, "mbs"), pred_confs=opt(preds, "confs"))
+        if self.average_mode == "epoch_mean":
+            prev_w, next_w = 1.0, 1.0
+        else:
+            prev_w, next_w = self.ema_decay, 1.0 - self.ema_decay
         for k, v in vals.items():
             arr = np.asarray(v)
-            self._sums[k] = self._sums.get(k, 0.0) + float(arr.sum())
+            self._sums[k] = (prev_w * self._sums.get(k, 0.0)
+                             + next_w * float(arr.sum()))
         self._count += pf.shape[0]
+        self._steps += 1
 
     def compute(self) -> Dict[str, float]:
-        c = max(self._count, 1)
+        if self.average_mode == "epoch_mean":
+            c = max(self._count, 1)
+        else:
+            c = 1.0
+            if self._steps < self.ema_max_count:  # bias correction
+                c -= self.ema_decay ** self._steps
+            c = max(c, 1e-8)
         return {f"{self.prefix}{k}": v / c for k, v in self._sums.items()}

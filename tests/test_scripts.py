@@ -96,6 +96,27 @@ def test_validate_script_bf16(sintel_cfg, tmp_path):
     assert np.isfinite(metrics["sintel-clean-trainval"]["epe"])
 
 
+def test_validate_script_seq_val_mode(tmp_path):
+    """--seq_val_mode selects one GT frame of a multi-frame sequence
+    (reference validate.py:423-438)."""
+    import validate as validate_mod
+
+    roots = {"mpi_sintel": str(dummy_datasets.write_sintel(
+        tmp_path, n_seqs=1, n_frames=4, size=(128, 128)))}
+    cfg = tmp_path / "datasets.yaml"
+    cfg.write_text(yaml.safe_dump(roots))
+    args = argparse.Namespace(
+        model="raft_small", ckpt_path=None, config=None,
+        set=[f"data.dataset_config_path={cfg}"],
+        val_dataset="sintel-clean-trainval-seqlen_3", warm_start=False,
+        output_path=str(tmp_path / "out_validate_seq"),
+        write_outputs=False, bf16=False, seq_val_mode="last",
+        scale_factor=None, max_forward_side=None, iters=2, max_samples=1,
+        all=False, select=None, exclude=None)
+    metrics = validate_mod.validate(args)
+    assert np.isfinite(metrics["sintel-clean-trainval-seqlen_3"]["epe"])
+
+
 def test_infer_script(sintel_cfg, tmp_path):
     import infer as infer_mod
 

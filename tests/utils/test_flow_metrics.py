@@ -97,3 +97,38 @@ def test_accumulator_epoch_mean():
     out = m.compute()
     expected = np.mean([np.sqrt(2.0) * i for i in (0, 1, 2)])
     np.testing.assert_allclose(out["epe"], expected, rtol=1e-5)
+
+
+def test_flow_metrics_ema_mode():
+    """EMA averaging with bias correction (reference flow_metrics.py:82,
+    154-160, 296-303): constant input -> exact value at every step."""
+    from ptlflow_tpu.utils.flow_metrics import FlowMetrics
+
+    rng = np.random.RandomState(0)
+    pf = rng.randn(1, 1, 2, 8, 8).astype(np.float32)
+    tf = rng.randn(1, 1, 2, 8, 8).astype(np.float32)
+    epoch = FlowMetrics()
+    ema = FlowMetrics(average_mode="ema", ema_decay=0.9)
+    for _ in range(3):
+        epoch.update({"flows": pf}, {"flows": tf})
+        ema.update({"flows": pf}, {"flows": tf})
+    want = epoch.compute()["epe"]
+    got = ema.compute()["epe"]  # constant stream: bias-corrected EMA == mean
+    assert abs(got - want) < 1e-5
+
+
+def test_flow_metrics_interpolate_pred_to_target():
+    """Half-resolution predictions are upscaled (and flow vectors rescaled)
+    before comparison (reference flow_metrics.py:163-180)."""
+    from ptlflow_tpu.utils.flow_metrics import FlowMetrics
+
+    h, w = 16, 24
+    tf = np.zeros((1, 1, 2, h, w), np.float32)
+    tf[:, :, 0] = 4.0  # constant GT flow
+    tf[:, :, 1] = 2.0
+    pf_half = np.zeros((1, 1, 2, h // 2, w // 2), np.float32)
+    pf_half[:, :, 0] = 2.0  # correct at half scale
+    pf_half[:, :, 1] = 1.0
+    m = FlowMetrics(interpolate_pred_to_target_size=True)
+    m.update({"flows": pf_half}, {"flows": tf})
+    assert m.compute()["epe"] < 1e-5

@@ -82,3 +82,26 @@ def test_io_adapter_prepare_and_unscale():
     assert out["flows"].shape == (1, 1, 2, 50, 62)
     # magnitudes scaled back up by 2
     assert abs(float(out["flows"][0, 0, 0].mean()) - 2.0) < 0.01
+
+
+def test_tensor_dict_to_numpy_and_release():
+    from ptlflow_tpu.utils.misc import release_device, tensor_dict_to_numpy
+
+    d = {"flows": jnp.ones((1, 1, 2, 8, 8)), "meta": {"a": 1}, "n": 3}
+    out = tensor_dict_to_numpy(d)
+    assert out["flows"].shape == (8, 8, 2)
+    assert out["flows_viz"].shape == (8, 8, 3)
+    assert out["meta"] == {"a": 1}
+
+    d2 = {"x": jnp.ones((4,)), "y": "keep"}
+    r = release_device(d2)
+    assert isinstance(r["x"], np.ndarray) and r["y"] == "keep"
+
+
+def test_forward_interpolate_batch_nchw():
+    from ptlflow_tpu.utils.misc import forward_interpolate_batch
+
+    flow = np.zeros((2, 2, 8, 8), np.float32)
+    out = np.asarray(forward_interpolate_batch(flow))
+    assert out.shape == (2, 2, 8, 8)
+    np.testing.assert_allclose(out, flow, atol=1e-5)  # zero flow fixed point

@@ -39,6 +39,11 @@ def _parse_args():
     parser.add_argument("--max_forward_side", type=int, default=None)
     parser.add_argument("--warm_start", action="store_true")
     parser.add_argument("--iters", type=int, default=None)
+    parser.add_argument("--seq_val_mode", type=str, default="all",
+                        choices=("all", "first", "middle", "last"),
+                        help="which prediction frame to evaluate when the "
+                        "model predicts more than one (reference "
+                        "validate.py:141-148)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 inference (analog of the reference "
                         "--fp16, validate.py:138): models with a "
@@ -107,6 +112,23 @@ def validate_one_dataloader(model, loader, dataset_name: str, args,
                 else:
                     unscaled[k] = v
             preds = unscaled
+        n_flows = batch["flows"].shape[1] if "flows" in batch else 1
+        if n_flows > 1 and getattr(args, "seq_val_mode", "all") != "all":
+            # evaluate a single frame of multi-frame predictions
+            # (reference validate.py:423-438)
+            if args.seq_val_mode == "first":
+                k = 0
+            elif args.seq_val_mode == "middle":
+                k = batch["images"].shape[1] // 2
+            else:
+                k = n_flows - 1
+            for key in ("flows", "valids", "occs"):
+                if key in batch and batch[key].ndim == 5:
+                    batch[key] = batch[key][:, k:k + 1]
+            if hasattr(preds.get("flows"), "shape") \
+                    and preds["flows"].shape[1] > 1:
+                preds = dict(preds)
+                preds["flows"] = preds["flows"][:, k:k + 1]
         if "flows" in batch:
             targets = {"flows": jnp.asarray(batch["flows"])}
             if "valids" in batch:
