@@ -42,3 +42,28 @@ def test_train_script_smoke(tmp_path, monkeypatch):
     info = json.loads((out / "train_info.json").read_text())
     assert info["steps"] == 2
     assert (out / "index.json").exists()  # top-k index from validation
+
+
+def test_train_script_max_epochs(tmp_path, monkeypatch):
+    """--max_epochs converts to steps across the mesh
+    (reference base_model.py:507-539)."""
+    import train as train_mod
+
+    roots = {"flying_chairs": str(dummy_datasets.write_flying_chairs(
+        tmp_path, n=3, size=(128, 128)))}
+    cfg = tmp_path / "datasets.yaml"
+    cfg.write_text(yaml.safe_dump(roots))
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "--model", "raft_small",
+        "--set", f"data.dataset_config_path={cfg}",
+        "model.init_args.iters=2", "data.train_num_workers=0",
+        "--train_dataset", "chairs-trainval",
+        "--val_dataset", "chairs-trainval",
+        "--train_batch_size", "2",
+        "--train_crop_size", "128", "128",
+        "--max_epochs", "1",
+        "--val_every_n_steps", "100",
+        "--log_every_n_steps", "1",
+        "--n_devices", "1",
+        "--ckpt_dir", str(tmp_path / "ckpts_ep")])
+    train_mod.main()  # 3 samples, bs=2 -> 2 steps; finishes quickly

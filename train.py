@@ -49,6 +49,10 @@ def _parse_args():
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--wdecay", type=float, default=None)
     parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--max_epochs", type=int, default=None,
+                        help="used when --max_steps is unset: max_steps = "
+                        "epochs * ceil(steps_per_epoch / n_devices) "
+                        "(reference base_model.py:507-539)")
     parser.add_argument("--train_batch_size", type=int, default=None)
     parser.add_argument("--train_crop_size", type=int, nargs=2, default=None)
     parser.add_argument("--train_num_workers", type=int, default=None)
@@ -91,7 +95,7 @@ def main():
     train_cfg = cfg.get("trainer", {})
     lr = args.lr or cfg.get("model", {}).get("init_args", {}).get("lr") or 1e-4
     wdecay = args.wdecay or 1e-4
-    max_steps = args.max_steps or train_cfg.get("max_steps") or 100000
+    max_steps = args.max_steps or train_cfg.get("max_steps")
 
     dm = datamodule_from_cfg(
         cfg, output_stride=model.output_stride,
@@ -103,6 +107,23 @@ def main():
     dm.setup()
 
     mesh = make_mesh(args.n_devices)
+    if not max_steps:
+        # epochs -> steps conversion, divided across the data-parallel mesh
+        # (reference base_model.py:507-539)
+        max_epochs = args.max_epochs or train_cfg.get("max_epochs")
+        if max_epochs:
+            import math as _math
+
+            steps_per_epoch = max(
+                1, _math.ceil(len(dm.train_data)
+                              / (dm.train_batch_size or 1)))
+            n_dev = len(mesh.devices.flat)
+            max_steps = max_epochs * _math.ceil(steps_per_epoch / n_dev)
+            print(f"--max_steps unset: using {max_steps} "
+                  f"({max_epochs} epochs * {steps_per_epoch} steps "
+                  f"/ {n_dev} devices)")
+        else:
+            max_steps = 100000
     tx = make_optimizer(lr=lr, wdecay=wdecay, total_steps=max_steps,
                         grad_clip=args.grad_clip)
     state = create_train_state(model, tx, seed=args.seed)
