@@ -39,6 +39,66 @@ class TensorBoardLogger:
         self.writer.close()
 
 
+class WandbLogger:
+    """Weights & Biases backend (reference logger.py dispatch); requires the
+    optional ``wandb`` package."""
+
+    def __init__(self, project: str = "ptlflow_tpu", run_name: str = None,
+                 config: Dict = None):
+        import wandb  # optional dependency
+
+        self.run = wandb.init(project=project, name=run_name, config=config)
+        self._wandb = wandb
+
+    def log_scalars(self, scalars: Dict[str, float], step: int):
+        self.run.log({k: float(v) for k, v in scalars.items()}, step=step)
+
+    def log_image(self, tag: str, image_hwc: np.ndarray, step: int):
+        self.run.log({tag: self._wandb.Image(image_hwc)}, step=step)
+
+    def flush(self):
+        pass
+
+    def close(self):
+        self.run.finish()
+
+
+class MultiLogger:
+    """Fan-out to several backends (reference LoggerCallback dispatches to
+    TB/W&B/Comet/Neptune/SwanLab, logger.py:56-131); backends whose package
+    is missing are skipped with a notice."""
+
+    def __init__(self, log_dir: str, backends=("tensorboard",),
+                 project: str = "ptlflow_tpu"):
+        self.loggers = []
+        for b in backends:
+            try:
+                if b == "tensorboard":
+                    self.loggers.append(TensorBoardLogger(log_dir))
+                elif b == "wandb":
+                    self.loggers.append(WandbLogger(project=project))
+                else:
+                    raise ImportError(f"unknown backend {b}")
+            except ImportError as e:
+                print(f"[logger] backend '{b}' unavailable: {e}")
+
+    def log_scalars(self, scalars: Dict[str, float], step: int):
+        for lg in self.loggers:
+            lg.log_scalars(scalars, step)
+
+    def log_image(self, tag: str, image_hwc: np.ndarray, step: int):
+        for lg in self.loggers:
+            lg.log_image(tag, image_hwc, step)
+
+    def flush(self):
+        for lg in self.loggers:
+            lg.flush()
+
+    def close(self):
+        for lg in self.loggers:
+            lg.close()
+
+
 def make_flow_grid(image_bgr: np.ndarray, pred_flow: np.ndarray,
                    gt_flow: Optional[np.ndarray] = None,
                    max_height: int = 400) -> np.ndarray:
