@@ -104,33 +104,51 @@ def benchmark_one(name: str, dtype: str, input_size, iters, num_samples,
 
 
 def main():
+    import jax
+
+    cache_dir = Path(__file__).resolve().parent / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     args = _parse_args()
     names = args.models or (ptlflow_tpu.get_model_names() if args.all
                             else ["raft"])
     names = [n for n in names if n not in set(args.exclude)]
     out_dir = Path(args.output_path)
     out_dir.mkdir(parents=True, exist_ok=True)
+    csv_path = out_dir / "benchmark.csv"
+    fieldnames = ["model", "datatype", "input_h", "input_w", "params",
+                  "flops", "time_ms", "fps"]
+    done = set()
+    has_data = csv_path.exists() and csv_path.stat().st_size > 0
+    if has_data:  # resume an interrupted sweep
+        with open(csv_path, newline="") as f:
+            done = {(r["model"], r["datatype"]) for r in csv.DictReader(f)}
     rows = []
-    for name in names:
-        for dtype in args.datatypes:
-            try:
-                row = benchmark_one(
-                    name, dtype, args.input_size, args.iters,
-                    args.num_samples,
-                    profile_dir=(out_dir / "trace" if args.profile
-                                 else None))
-                rows.append(row)
-                print(f"{name} [{dtype}]: {row['time_ms']:.2f} ms, "
-                      f"{row['params'] / 1e6:.2f} M params, "
-                      f"{row['flops'] / 1e9:.1f} GFLOPs")
-            except Exception as e:  # sweep continues past failures
-                print(f"[skip] {name}/{dtype}: {e}")
-    if rows:
-        with open(out_dir / "benchmark.csv", "w", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=list(rows[0]))
+    with open(csv_path, "a", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=fieldnames)
+        if not has_data:
             writer.writeheader()
-            writer.writerows(rows)
-        print(f"wrote {out_dir / 'benchmark.csv'}")
+            f.flush()
+        for name in names:
+            for dtype in args.datatypes:
+                if (name, dtype) in done:
+                    continue
+                try:
+                    row = benchmark_one(
+                        name, dtype, args.input_size, args.iters,
+                        args.num_samples,
+                        profile_dir=(out_dir / "trace" if args.profile
+                                     else None))
+                    rows.append(row)
+                    writer.writerow(row)
+                    f.flush()  # incremental: a crash keeps prior rows
+                    print(f"{name} [{dtype}]: {row['time_ms']:.2f} ms, "
+                          f"{row['params'] / 1e6:.2f} M params, "
+                          f"{row['flops'] / 1e9:.1f} GFLOPs")
+                except Exception as e:  # sweep continues past failures
+                    print(f"[skip] {name}/{dtype}: {e}")
+    print(f"wrote {csv_path}")
 
 
 if __name__ == "__main__":
