@@ -61,6 +61,8 @@ def resolve_checkpoint_path(model, ckpt_path: Optional[str]) -> Optional[str]:
     names = getattr(model, "pretrained_checkpoints", {}) or {}
     if ckpt_path in names:
         url = names[ckpt_path]
+        import re
+
         import torch.hub
 
         hub_dir = Path(torch.hub.get_dir()) / "checkpoints"
@@ -69,7 +71,13 @@ def resolve_checkpoint_path(model, ckpt_path: Optional[str]) -> Optional[str]:
         if local.exists():
             return str(local)
         hub_dir.mkdir(parents=True, exist_ok=True)
-        torch.hub.download_url_to_file(url, str(local), progress=False)
+        # zoo filenames embed a sha256 prefix (raft-things-802bbcfd.ckpt);
+        # torch.hub verifies the download against it, as the reference's
+        # load_state_dict_from_url does (ptlflow/__init__.py:243-250)
+        m = re.search(r"-([a-f0-9]{8,})\.\w+$", fname)
+        torch.hub.download_url_to_file(
+            url, str(local), hash_prefix=m.group(1) if m else None,
+            progress=False)
         return str(local)
     raise ValueError(
         f"ckpt_path '{ckpt_path}' is neither an existing file nor one of the "

@@ -62,6 +62,10 @@ def _parse_args():
     parser.add_argument("--ckpt_dir", type=str, default="ptlflow_checkpoints")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        help="jax_debug_nans: fail fast on NaN/inf in any "
+                        "jitted computation (reference "
+                        "Trainer(detect_anomaly=...), ptlflow_trainer.py:103)")
     return parser.parse_args()
 
 
@@ -85,6 +89,10 @@ def run_validation(model, state, dm):
 
 def main():
     args = _parse_args()
+    if args.detect_anomaly:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     cfg = load_config(args)
     model, model_name = model_from_args(args, cfg)
     if model.params is None:
