@@ -97,3 +97,19 @@ def download_scripts(destination_dir: Path = Path("ptlflow_scripts"),
             (destination_dir / sname).write_bytes(data.content)
         else:
             print(f"[download_scripts] {github_url + sname} not found.")
+
+
+def config_logging(log_dir: Path = Path("ptlflow_logs")) -> None:
+    """File + stream logging into ``ptlflow_logs/log_run.txt`` (reference
+    utils.py:247-259)."""
+    import logging
+
+    log_dir = Path(log_dir)
+    log_dir.mkdir(exist_ok=True)
+    logging.basicConfig(
+        format="%(asctime)s - %(levelname)s: %(message)s",
+        datefmt="%m/%d/%Y %H:%M:%S",
+        level=logging.INFO,
+        handlers=[logging.FileHandler(log_dir / "log_run.txt"),
+                  logging.StreamHandler()],
+    )
