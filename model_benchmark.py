@@ -42,11 +42,8 @@ def _parse_args():
     return parser.parse_args()
 
 
-def count_flops(fwd, params, inputs):
-    import jax
-
+def count_flops(compiled):
     try:
-        compiled = jax.jit(fwd).lower(params, inputs).compile()
         analysis = compiled.cost_analysis()
         if isinstance(analysis, list):
             analysis = analysis[0]
@@ -55,11 +52,31 @@ def count_flops(fwd, params, inputs):
         return float("nan")
 
 
+def measure_latency_queue(compiled, summarize, params, inputs,
+                          n_chain: int = 5, repeats: int = 3) -> float:
+    """Per-forward latency from the device execution queue: enqueue
+    ``n_chain`` forwards back-to-back, then fetch one scalar reduced from the
+    last output — the fetch completes only after the queue drains (same
+    harness as bench.py; robust to the axon backend's async dispatch)."""
+    import time
+
+    float(summarize(compiled(params, inputs)))  # warmup
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_chain):
+            out = compiled(params, inputs)
+        float(summarize(out))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2] / n_chain
+
+
 def benchmark_one(name: str, dtype: str, input_size, iters, num_samples,
                   profile_dir=None):
     import jax
     import jax.numpy as jnp
-    from ptlflow_tpu.utils.timing import measure_latency
 
     args = {}
     if iters is not None:
@@ -81,15 +98,16 @@ def benchmark_one(name: str, dtype: str, input_size, iters, num_samples,
     def fwd(p, x):
         return model.forward(p, x, training=False)
 
-    flops = count_flops(fwd, params, inputs)
-    latency = measure_latency(fwd, params, inputs, n_chain=num_samples,
-                              repeats=2)
+    # ONE compile per (model, dtype): reused for FLOPs, latency, and profile
+    compiled = jax.jit(fwd).lower(params, inputs).compile()
+    summarize = jax.jit(lambda o: jnp.sum(o["flows"][..., :1, :1, :1]))
+    flops = count_flops(compiled)
+    latency = measure_latency_queue(compiled, summarize, params, inputs,
+                                    n_chain=num_samples, repeats=2)
     if profile_dir is not None:
         try:
-            jfwd = jax.jit(fwd)
-            jax.block_until_ready(jfwd(params, inputs))
             with jax.profiler.trace(str(profile_dir)):
-                jax.block_until_ready(jfwd(params, inputs))
+                float(summarize(compiled(params, inputs)))
             print(f"profiler trace written to {profile_dir}")
         except Exception as e:  # some backends expose no profiler
             print(f"[profile unavailable] {e}")
