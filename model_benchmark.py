@@ -167,6 +167,39 @@ def main():
                 except Exception as e:  # sweep continues past failures
                     print(f"[skip] {name}/{dtype}: {e}")
     print(f"wrote {csv_path}")
+    if args.plot:
+        save_plot(csv_path, out_dir / "benchmark.png")
+
+
+def save_plot(csv_path, png_path):
+    """Params-vs-latency scatter (reference model_benchmark.py plotly
+    scatter; matplotlib backend here)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(csv_path, newline="") as f:
+        rows = list(csv.DictReader(f))
+    if not rows:
+        return
+    fig, ax = plt.subplots(figsize=(10, 7))
+    for dtype in sorted({r["datatype"] for r in rows}):
+        sel = [r for r in rows if r["datatype"] == dtype]
+        xs = [float(r["params"]) / 1e6 for r in sel]
+        ys = [float(r["time_ms"]) for r in sel]
+        ax.scatter(xs, ys, label=dtype, alpha=0.7)
+        for r, x, y in zip(sel, xs, ys):
+            ax.annotate(r["model"], (x, y), fontsize=6, alpha=0.7)
+    ax.set_xlabel("params (M)")
+    ax.set_ylabel("forward time (ms)")
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(png_path, dpi=150)
+    print(f"wrote {png_path}")
 
 
 if __name__ == "__main__":
