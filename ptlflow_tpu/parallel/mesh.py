@@ -17,13 +17,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, spatial: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
-    """1-D data mesh, optionally folding a 'spatial' axis for sharded corr."""
+              devices: Optional[Sequence] = None,
+              num_nodes: int = 1) -> Mesh:
+    """1-D data mesh, optionally folding a 'spatial' axis for sharded corr.
+
+    ``num_nodes > 1`` builds a hybrid ('node', 'data') mesh (the reference's
+    Trainer(num_nodes=...) knob): the leading axis maps to the slower DCN
+    fabric between hosts, the trailing one to ICI within a slice, so data
+    parallelism's gradient psum is hierarchical.  On multi-host JAX
+    (jax.distributed.initialize) device order already groups by process, so
+    the reshape assigns whole hosts to the 'node' axis.
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     devs = np.asarray(devices)
+    if num_nodes > 1:
+        assert spatial == 1, "combine num_nodes with spatial via shard_map"
+        assert len(devs) % num_nodes == 0
+        devs = devs.reshape(num_nodes, len(devs) // num_nodes)
+        return Mesh(devs, ("node", "data"))
     if spatial > 1:
         assert len(devs) % spatial == 0
         devs = devs.reshape(len(devs) // spatial, spatial)
@@ -32,7 +46,10 @@ def make_mesh(n_devices: Optional[int] = None, spatial: int = 1,
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch-dim sharding for input pytrees."""
+    """Batch-dim sharding for input pytrees (over 'node' x 'data' when the
+    mesh is hybrid)."""
+    if "node" in mesh.axis_names:
+        return NamedSharding(mesh, P(("node", "data")))
     return NamedSharding(mesh, P("data"))
 
 

@@ -65,3 +65,20 @@ def test_data_parallel_train_step_8_devices():
     state2, metrics2 = step2(state2, _tiny_batch(8, 128, 128))
     np.testing.assert_allclose(float(metrics["loss"]),
                                float(metrics2["loss"]), rtol=2e-5)
+
+
+def test_hybrid_node_data_mesh_train_step():
+    """2 nodes x 4 devices hybrid mesh (reference Trainer(num_nodes=...)):
+    gradients psum hierarchically over ('node', 'data')."""
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8, num_nodes=2)
+    assert mesh.axis_names == ("node", "data")
+    model = ptlflow_tpu.get_model("raft_small", args={"iters": 2})
+    model.init_params()
+    tx = make_optimizer(lr=1e-4, total_steps=50)
+    state = create_train_state(model, tx)
+    step = build_train_step(model, tx, mesh=mesh)
+    batch = shard_batch(_tiny_batch(8, 128, 128), mesh)
+    with mesh:
+        state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))

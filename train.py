@@ -62,6 +62,9 @@ def _parse_args():
     parser.add_argument("--ckpt_dir", type=str, default="ptlflow_checkpoints")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--num_nodes", type=int, default=1,
+                        help="hybrid (node, data) mesh: leading axis on DCN "
+                        "(reference Trainer(num_nodes=...))")
     parser.add_argument("--detect_anomaly", action="store_true",
                         help="jax_debug_nans: fail fast on NaN/inf in any "
                         "jitted computation (reference "
@@ -114,7 +117,7 @@ def main():
         train_num_workers=args.train_num_workers)
     dm.setup()
 
-    mesh = make_mesh(args.n_devices)
+    mesh = make_mesh(args.n_devices, num_nodes=args.num_nodes)
     if not max_steps:
         # epochs -> steps conversion, divided across the data-parallel mesh
         # (reference base_model.py:507-539)
