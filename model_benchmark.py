@@ -35,6 +35,9 @@ def _parse_args():
     parser.add_argument("--output_path", type=str,
                         default="outputs/benchmark")
     parser.add_argument("--plot", action="store_true")
+    parser.add_argument("--per_model_timeout", type=int, default=None,
+                        help="seconds; abort a single model's benchmark "
+                        "(compile included) and continue the sweep")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of one forward "
                              "into <output_path>/trace (reference parity: "
@@ -153,11 +156,26 @@ def main():
                 if (name, dtype) in done:
                     continue
                 try:
-                    row = benchmark_one(
-                        name, dtype, args.input_size, args.iters,
-                        args.num_samples,
-                        profile_dir=(out_dir / "trace" if args.profile
-                                     else None))
+                    if args.per_model_timeout:
+                        import signal
+
+                        def _timeout(signum, frame):
+                            raise TimeoutError(
+                                f"exceeded {args.per_model_timeout}s")
+
+                        signal.signal(signal.SIGALRM, _timeout)
+                        signal.alarm(args.per_model_timeout)
+                    try:
+                        row = benchmark_one(
+                            name, dtype, args.input_size, args.iters,
+                            args.num_samples,
+                            profile_dir=(out_dir / "trace" if args.profile
+                                         else None))
+                    finally:
+                        if args.per_model_timeout:
+                            import signal
+
+                            signal.alarm(0)
                     rows.append(row)
                     writer.writerow(row)
                     f.flush()  # incremental: a crash keeps prior rows
