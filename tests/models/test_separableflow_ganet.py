@@ -207,3 +207,28 @@ def test_sga_parity():
     left = np_sga_up(xt, gt[3]).transpose(0, 1, 2, 4, 3)
     want = np.maximum(np.maximum(down, up), np.maximum(right, left))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_ganet_ops_differentiable():
+    """Training-grade gradients flow through the directional scans
+    (SURVEY hard-part #6: the reference needs custom CUDA backward kernels;
+    lax.scan/associative_scan differentiate natively)."""
+    import jax
+
+    rng = np.random.RandomState(0)
+    cost = jnp.asarray(rng.randn(1, 3, 8, 6, 6).astype(np.float32))
+    gs = [jnp.asarray(rng.rand(1, 5, 6, 6).astype(np.float32))
+          for _ in range(4)]
+    gs = [g / g.sum(1, keepdims=True) for g in gs]
+
+    grads = jax.grad(lambda c, g0, g1, g2, g3:
+                     jnp.sum(sga(c, g0, g1, g2, g3) ** 2),
+                     argnums=(0, 1, 2, 3, 4))(cost, *gs)
+    assert all(bool(jnp.isfinite(x).all()) for x in grads)
+    assert float(jnp.abs(grads[0]).sum()) > 0
+
+    x2 = jnp.asarray(rng.randn(1, 3, 6, 6).astype(np.float32))
+    grads2 = jax.grad(lambda x, g0, g1, g2, g3:
+                      jnp.sum(nlf_iter(x, g0, g1, g2, g3) ** 2),
+                      argnums=(0, 1))(x2, *gs)
+    assert all(bool(jnp.isfinite(x).all()) for x in grads2)
