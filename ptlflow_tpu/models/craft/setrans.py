@@ -256,14 +256,17 @@ class SlidingPosBiases2D(nn.Module):
     def __call__(self, params, h: int, w: int, **kw):
         R = self.R
         n = 2 * R + 1
-        # zero-padded table: index n marks "out of window"
-        tbl = jnp.pad(params["biases"], ((0, 1), (0, 1)))
-        du = jnp.arange(h)[None, :] - jnp.arange(h)[:, None] + R  # (i, u)
-        dv = jnp.arange(w)[None, :] - jnp.arange(w)[:, None] + R  # (j, v)
-        du = jnp.where((du >= 0) & (du < n), du, n)
-        dv = jnp.where((dv >= 0) & (dv < n), dv, n)
-        pos = tbl[du[:, :, None, None], dv[None, None, :, :]]  # (i,u,j,v)
-        pos = pos.transpose(0, 2, 1, 3)  # (i, j, u, v)
+        # pos[i,j,u,v] = biases[u-i+R, v-j+R] (zero outside the window) as
+        # two banded-matrix contractions instead of a (HW)^2 gather: the
+        # gather + 4-D transpose is a quarter-GB random shuffle at Sintel
+        # resolution, while this contraction is two small matmuls feeding
+        # one fused broadcast.
+        du = (jnp.arange(h)[None, :] - jnp.arange(h)[:, None] + R)  # (i, u)
+        dv = (jnp.arange(w)[None, :] - jnp.arange(w)[:, None] + R)  # (j, v)
+        a = (du[None] == jnp.arange(n)[:, None, None]).astype(jnp.float32)
+        b = (dv[None] == jnp.arange(n)[:, None, None]).astype(jnp.float32)
+        t = jnp.einsum("ab,aiu->biu", params["biases"], a)  # (n, h, h)
+        pos = jnp.einsum("biu,bjv->ijuv", t, b)  # (i, j, u, v)
         return pos.reshape(1, 1, h * w, h * w)
 
 
