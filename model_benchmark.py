@@ -105,6 +105,12 @@ def benchmark_one(name: str, dtype: str, input_size, iters, num_samples,
     compiled = jax.jit(fwd).lower(params, inputs).compile()
     summarize = jax.jit(lambda o: jnp.sum(o["flows"][..., :1, :1, :1]))
     flops = count_flops(compiled)
+    try:
+        ma = compiled.memory_analysis()
+        mem_gb = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                  + ma.temp_size_in_bytes) / 1e9
+    except Exception:
+        mem_gb = float("nan")
     latency = measure_latency_queue(compiled, summarize, params, inputs,
                                     n_chain=num_samples, repeats=2)
     if profile_dir is not None:
@@ -121,6 +127,7 @@ def benchmark_one(name: str, dtype: str, input_size, iters, num_samples,
         "flops": flops,
         "time_ms": latency * 1000.0,
         "fps": 1.0 / latency,
+        "mem_gb": mem_gb,
     }
 
 
@@ -139,12 +146,14 @@ def main():
     out_dir.mkdir(parents=True, exist_ok=True)
     csv_path = out_dir / "benchmark.csv"
     fieldnames = ["model", "datatype", "input_h", "input_w", "params",
-                  "flops", "time_ms", "fps"]
+                  "flops", "time_ms", "fps", "mem_gb"]
     done = set()
     has_data = csv_path.exists() and csv_path.stat().st_size > 0
-    if has_data:  # resume an interrupted sweep
+    if has_data:  # resume an interrupted sweep: keep ITS schema
         with open(csv_path, newline="") as f:
-            done = {(r["model"], r["datatype"]) for r in csv.DictReader(f)}
+            reader = csv.DictReader(f)
+            fieldnames = reader.fieldnames or fieldnames
+            done = {(r["model"], r["datatype"]) for r in reader}
     rows = []
     with open(csv_path, "a", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=fieldnames)
@@ -177,7 +186,8 @@ def main():
 
                             signal.alarm(0)
                     rows.append(row)
-                    writer.writerow(row)
+                    writer.writerow({k: row.get(k, "")
+                                     for k in fieldnames})
                     f.flush()  # incremental: a crash keeps prior rows
                     print(f"{name} [{dtype}]: {row['time_ms']:.2f} ms, "
                           f"{row['params'] / 1e6:.2f} M params, "
