@@ -55,7 +55,10 @@ def compare(ours_csv, ref_csv):
         for r in csv.DictReader(f):
             if r["datatype"] != "fp32":
                 continue
-            by_model[r["model"]] = r  # dedup: last measurement wins
+            prev = by_model.get(r["model"])
+            # dedup: fastest wins (contention only ever inflates latency)
+            if prev is None or float(r["time_ms"]) < float(prev["time_ms"]):
+                by_model[r["model"]] = r
     rows = []
     for m, r in by_model.items():
         ours_ms = float(r["time_ms"])
