@@ -94,7 +94,8 @@ def benchmark_one(name: str, dtype: str, input_size, iters, num_samples,
         if dtype != "fp32" else model.params
     h, w = input_size
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(1, 2, 3, h, w).astype(np.float32),
+    n_imgs = getattr(model, "required_images", 2)
+    images = jnp.asarray(rng.rand(1, n_imgs, 3, h, w).astype(np.float32),
                          dtype=jdtype)
     inputs = {"images": images}
 

@@ -240,7 +240,11 @@ class SeparableFlow(BaseModel):
                  dropout: float = 0.0, gamma: float = 0.8,
                  max_flow: float = 400, iters: int = 32,
                  hidden_dim: int = 128, context_dim: int = 128, **kwargs):
-        super().__init__(output_stride=8,
+        # The reference uses output_stride=8 (separableflow.py:228) and its
+        # GANet CUDA kernels tolerate odd grids; our scan-based aggregation
+        # U-Net halves H/8 and W/8 twice, so inputs pad to /64 instead —
+        # behavior-equivalent (extra padding is cropped from the output).
+        super().__init__(output_stride=64,
                          loss_fn=SequenceLoss(gamma, max_flow), **kwargs)
         self.corr_levels = corr_levels
         self.corr_radius = corr_radius

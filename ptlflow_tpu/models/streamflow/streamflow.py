@@ -264,6 +264,7 @@ class SKUpdateBlock_TAM_v3(nn.Module):
 
 
 class StreamFlow(BaseModel):
+    required_images = 4  # 4-frame pipeline (T frames -> T-1 flows)
     pretrained_checkpoints = {
         "kitti": "https://github.com/hmorimitsu/ptlflow/releases/download/weights1/streamflow-kitti-eaafa6ed.ckpt",
         "sintel": "https://github.com/hmorimitsu/ptlflow/releases/download/weights1/streamflow-sintel-af557e5e.ckpt",
