@@ -60,8 +60,20 @@ def measure_latency_queue(compiled, summarize, params, inputs,
     """Per-forward latency from the device execution queue: enqueue
     ``n_chain`` forwards back-to-back, then fetch one scalar reduced from the
     last output — the fetch completes only after the queue drains (same
-    harness as bench.py; robust to the axon backend's async dispatch)."""
+    harness as bench.py; robust to the axon backend's async dispatch).
+    The measured null round-trip is subtracted and the minimum over
+    ``repeats`` is taken: external noise only ever inflates latency."""
     import time
+
+    import jax
+    import jax.numpy as jnp
+
+    null = jax.jit(lambda a: a + 1.0)
+    float(null(jnp.zeros(())))
+    overhead = min(
+        (lambda t0=time.perf_counter(): (float(null(jnp.zeros(()))),
+                                         time.perf_counter() - t0)[1])()
+        for _ in range(5))
 
     float(summarize(compiled(params, inputs)))  # warmup
     times = []
@@ -72,8 +84,7 @@ def measure_latency_queue(compiled, summarize, params, inputs,
             out = compiled(params, inputs)
         float(summarize(out))
         times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2] / n_chain
+    return (min(times) - overhead) / n_chain
 
 
 def benchmark_one(name: str, dtype: str, input_size, iters, num_samples,
@@ -113,7 +124,7 @@ def benchmark_one(name: str, dtype: str, input_size, iters, num_samples,
     except Exception:
         mem_gb = float("nan")
     latency = measure_latency_queue(compiled, summarize, params, inputs,
-                                    n_chain=num_samples, repeats=2)
+                                    n_chain=num_samples, repeats=3)
     if profile_dir is not None:
         try:
             with jax.profiler.trace(str(profile_dir)):
