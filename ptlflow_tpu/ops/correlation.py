@@ -209,6 +209,51 @@ def corr_pyramid_lookup(pyramid: Sequence[jnp.ndarray], coords: jnp.ndarray,
     return jnp.concatenate(out_pyramid, axis=-1)
 
 
+class AltCorrBlock:
+    """Memory-efficient on-the-fly windowed correlation (the reference's
+    alt_cuda_corr extension, utils/external/alt_cuda_corr/correlation_kernel.cu:19-121
+    via AlternateCorrBlock, models/raft/corr.py:67-118).
+
+    Numerically identical to ``CorrBlock`` — the dot product is linear, so
+    dot(f1, bilerp(avgpool(f2))) == bilerp(avgpool(dot(f1, f2))) — but uses
+    O(HW * (2r+1)^2) memory per lookup instead of materializing the
+    O((HW)^2) volume, which is what makes the fine scales of MS-RAFT+/CCMR+
+    (1/4 and 1/2 resolution) representable at all.
+    """
+
+    def __init__(self, fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                 num_levels: int = 4, radius: int = 4):
+        self.num_levels = num_levels
+        self.radius = radius
+        self.fmap1 = fmap1
+        self.f2_pyramid = [fmap2]
+        for _ in range(num_levels - 1):
+            fmap2 = avg_pool2d(fmap2, 2, 2)
+            self.f2_pyramid.append(fmap2)
+
+    def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
+        from .grid_sample import bilinear_sampler
+
+        b, h, w, c = self.fmap1.shape
+        r = self.radius
+        n = 2 * r + 1
+        dr = jnp.arange(-r, r + 1, dtype=coords.dtype)
+        da, db = jnp.meshgrid(dr, dr, indexing="ij")
+        # the reference lookup adds its (dy, dx) meshgrid onto (x, y)
+        # coords, so x varies on the SLOW channel axis (corr.py:40-47);
+        # reproduce that channel order exactly
+        offsets = jnp.stack([da, db], axis=-1).reshape(-1, 2)  # (n*n, (x,y))
+        outs = []
+        for i, f2 in enumerate(self.f2_pyramid):
+            base = coords / 2 ** i
+            sc = (base[:, :, :, None, :] + offsets[None, None, None]
+                  ).reshape(b, h, w * n * n, 2)
+            f2s = bilinear_sampler(f2, sc).reshape(b, h, w, n * n, c)
+            corr = jnp.einsum("bhwc,bhwkc->bhwk", self.fmap1, f2s)
+            outs.append(corr / math.sqrt(c))
+        return jnp.concatenate(outs, axis=-1)
+
+
 class CorrBlock:
     """Functional equivalent of the reference CorrBlock (corr.py:12-64)."""
 
