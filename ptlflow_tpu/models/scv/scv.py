@@ -30,21 +30,52 @@ from .extractor import BasicEncoder, BasicEncoderQuarter
 from .update import BasicUpdateBlock, BasicUpdateBlockQuarter
 
 
-def compute_sparse_corr(fmap1: jnp.ndarray, fmap2: jnp.ndarray, k: int = 32):
+def compute_sparse_corr(fmap1: jnp.ndarray, fmap2: jnp.ndarray, k: int = 32,
+                        row_chunk: int = 2048, col_chunk: int = 1024):
     """Top-k correlation hypotheses per query pixel (scv.py:48-84).
 
     fmap1, fmap2: (B, H, W, C).  Returns
     corr (B, N, k), coords0 (B, N, 2) (y, x), coords1 (B, N, k, 2)
     relative (y, x) displacements of the matches.
+
+    TPU design: the reference's faiss GPU inner-product search (knn.py:88)
+    becomes an exact two-stage top-k — rows are processed in chunks (the
+    full N x N correlation is never materialized: at 1/4 resolution of
+    500x1000 it would be 3.9 GB), and within each chunk the column axis is
+    split into blocks whose local top-k candidates feed one final top-k
+    (exact: any global top-k element is top-k within its block).  This
+    avoids ``lax.top_k`` over ~31k-wide rows, which dominates the runtime.
     """
     b, h, w, c = fmap1.shape
     n = h * w
     f1 = fmap1.reshape(b, n, c)
     f2 = fmap2.reshape(b, n, c)
-    corr_full = jax.lax.dot_general(
-        f1, f2, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (B, N1, N2)
-    corr_top, indices = jax.lax.top_k(corr_full, k)  # (B, N, k)
+
+    ncol = -(-n // col_chunk) * col_chunk
+    f2p = jnp.pad(f2, ((0, 0), (0, ncol - n), (0, 0)))
+    nrow = -(-n // row_chunk) * row_chunk
+    f1p = jnp.pad(f1, ((0, 0), (0, nrow - n), (0, 0)))
+    col_ids = jnp.arange(ncol)
+    col_valid = col_ids < n  # padded columns must never be selected
+    nb = ncol // col_chunk
+
+    def one_chunk(rows):  # (B, row_chunk, C) -> (vals, idx) (B, rc, k)
+        scores = jax.lax.dot_general(
+            rows, f2p, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (B, rc, ncol)
+        scores = jnp.where(col_valid[None, None], scores, -jnp.inf)
+        sb = scores.reshape(b, row_chunk, nb, col_chunk)
+        v1, i1 = jax.lax.top_k(sb, k)              # (B, rc, nb, k)
+        g1 = i1 + (jnp.arange(nb) * col_chunk)[None, None, :, None]
+        v2, i2 = jax.lax.top_k(v1.reshape(b, row_chunk, nb * k), k)
+        idx = jnp.take_along_axis(g1.reshape(b, row_chunk, nb * k), i2,
+                                  axis=2)
+        return v2, idx
+
+    chunks = f1p.reshape(b, nrow // row_chunk, row_chunk, c)
+    v, idx = jax.lax.map(one_chunk, jnp.moveaxis(chunks, 1, 0))
+    corr_top = jnp.moveaxis(v, 0, 1).reshape(b, nrow, k)[:, :n]
+    indices = jnp.moveaxis(idx, 0, 1).reshape(b, nrow, k)[:, :n]
     corr_top = corr_top / jnp.sqrt(jnp.asarray(c, jnp.float32))
 
     ys = (indices // w).astype(jnp.float32)
@@ -83,28 +114,30 @@ def sparse_windows(corr: jnp.ndarray, coords1: jnp.ndarray, h: int, w: int,
     reference's concatenated sparse tensors (scv.py:252-298).
     """
     b, n_pix, k = corr.shape
-    ws = 2 * search_range + 1
+    r = search_range
+    ws = 2 * r + 1
+    dt = corr.dtype
+    slots = jnp.arange(ws, dtype=jnp.float32)[None, None, None]  # (1,1,1,ws)
     outs = []
-    n_idx = jnp.arange(n_pix)[None, :, None, None]  # (1, N, 1, 1)
     for i in range(num_scales):
         c = jax.lax.stop_gradient(coords1) * (0.5 ** i)
-        weights, corners = _bilinear_corners(c)  # (B,N,k,4), (B,N,k,4,2)
-        weights = jax.lax.stop_gradient(weights)
-        iy = corners[..., 0].astype(jnp.int32) + search_range
-        ix = corners[..., 1].astype(jnp.int32) + search_range
-        valid = ((jnp.abs(corners[..., 0]) <= search_range)
-                 & (jnp.abs(corners[..., 1]) <= search_range))
-        win = iy * ws + ix
-        flat = n_idx * (ws * ws) + win  # (B, N, k, 4)
-        flat = jnp.where(valid, flat, n_pix * ws * ws)
-        vals = weights * corr[..., None]  # (B, N, k, 4)
-
-        def splat_one(f, v):
-            out = jnp.zeros((n_pix * ws * ws + 1,), v.dtype)
-            return out.at[f.reshape(-1)].add(v.reshape(-1),
-                                             mode="drop")[:-1]
-
-        out = jax.vmap(splat_one)(flat, vals)
+        y, x = c[..., 0], c[..., 1]
+        yf, xf = jnp.floor(y), jnp.floor(x)
+        fy, fx = y - yf, x - xf
+        # Separable one-hot splat: the bilinear weights factorize as
+        # wy(dy)*wx(dx), so the per-pixel 9x9 window is a fused
+        # broadcast-reduce over the k matches — no scatter (TPU scatter-add
+        # serializes; this was a ~280 ms/forward fusion per scale).
+        # Corners outside [-r, r] match no slot, which reproduces the
+        # reference's valid-mask drop (scv.py:266-276) exactly.
+        iy, ix = yf + r, xf + r  # slot index of the floor corner
+        ry = ((slots == iy[..., None]) * (1 - fy[..., None])
+              + (slots == iy[..., None] + 1) * fy[..., None])  # (B,N,k,ws)
+        rx = ((slots == ix[..., None]) * (1 - fx[..., None])
+              + (slots == ix[..., None] + 1) * fx[..., None])
+        contrib = (corr[..., None, None].astype(jnp.float32)
+                   * ry[..., :, None] * rx[..., None, :])  # (B,N,k,ws,ws)
+        out = jnp.sum(contrib, axis=2).astype(dt)  # (B, N, ws, ws)
         outs.append(out.reshape(b, h, w, ws * ws))
     return jnp.concatenate(outs, axis=-1)
 
