@@ -27,7 +27,10 @@ def _parse_args():
     parser = argparse.ArgumentParser(description=__doc__)
     add_common_model_args(parser)
     parser.add_argument("--input_path", type=str, nargs="+", required=True,
-                        help="two images | a folder of frames | a video file")
+                        help="two images | a folder of frames | a video file"
+                             " | a webcam index (e.g. 0)")
+    parser.add_argument("--max_frames", type=int, default=None,
+                        help="stop a webcam stream after this many frames")
     parser.add_argument("--output_path", type=str, default="outputs/infer")
     parser.add_argument("--flow_format", type=str, default="flo",
                         choices=["flo", "png", "flo5", "npy"])
@@ -48,11 +51,25 @@ def _imread_checked(path):
     return img
 
 
-def init_input(input_path: List[str]):
-    """Yield (name, frame) pairs (reference infer.py:234)."""
+def init_input(input_path: List[str], max_frames: int = None):
+    """Yield (name, frame) pairs from images / a folder / a video file / a
+    webcam index (reference infer.py:234-258: a bare integer opens
+    ``cv.VideoCapture(index)`` on the camera device)."""
     import cv2 as cv
 
-    if len(input_path) == 1 and Path(input_path[0]).is_dir():
+    if len(input_path) == 1 and input_path[0].isdigit():
+        cap = cv.VideoCapture(int(input_path[0]))
+        if not cap.isOpened():
+            raise RuntimeError(f"cannot open webcam {input_path[0]}")
+        i = 0
+        while max_frames is None or i < max_frames:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            yield f"{i:06d}", frame
+            i += 1
+        cap.release()
+    elif len(input_path) == 1 and Path(input_path[0]).is_dir():
         frames = sorted(p for p in Path(input_path[0]).iterdir()
                         if p.suffix.lower() in IMG_EXTS)
         for p in frames:
@@ -87,7 +104,8 @@ def infer(args):
     out_dir.mkdir(parents=True, exist_ok=True)
 
     prev_name, prev_frame = None, None
-    for cur_name, frame in init_input(args.input_path):
+    for cur_name, frame in init_input(args.input_path,
+                                      getattr(args, "max_frames", None)):
         if prev_frame is None:
             prev_name, prev_frame = cur_name, frame
             continue

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ... import nn
-from ...ops.correlation import build_corr_pyramid, corr_pyramid_lookup, coords_grid
+from ...ops.correlation import build_corr_pyramid, make_corr_lookup, coords_grid
 from ...ops.upsample import convex_upsample, upflow
 from ...ops.warp import forward_interpolate
 from ...utils.registry import register_model, trainable, ptlflow_trained
@@ -115,6 +115,9 @@ class RAFT(BaseModel):
         fmap2 = self.fnet(params["fnet"], image2, training=training)
         pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,
                                      dtype=corr_dtype)
+        corr_lookup = make_corr_lookup(pyramid, self.corr_radius,
+                                       impl=getattr(self, "corr_impl",
+                                                    "auto"))
 
         cnet = self.cnet(params["cnet"], image1, training=training)
         net = jnp.tanh(cnet[..., :self.hidden_dim])
@@ -143,7 +146,7 @@ class RAFT(BaseModel):
         def step(carry, _):
             net, coords1, last_mask = carry
             coords1 = jax.lax.stop_gradient(coords1)
-            corr = corr_pyramid_lookup(pyramid, coords1, self.corr_radius)
+            corr = corr_lookup(coords1)
             flow = coords1 - coords0
             # under mixed_precision the fp32 flow would re-promote the whole
             # update block; cast it at the boundary (coords stay fp32)

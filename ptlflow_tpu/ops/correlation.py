@@ -22,6 +22,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..nn.layers import avg_pool2d
 from .grid_sample import bilinear_sampler
@@ -156,8 +157,146 @@ def _lookup_grouped(pyramid: Sequence[jnp.ndarray], coords: jnp.ndarray,
     return jnp.concatenate(outs, axis=-1)
 
 
+def _best_group(q: int, target: int = 8, lo: int = 3, hi: int = 12) -> int:
+    """Divisor of ``q`` nearest ``target`` (ties -> larger).
+
+    The block-diagonal grouped lookup needs ``q % group == 0``; swept
+    in-model on v5e at RAFT@500x1000 (32-iter scan): g=9 75.1 ms, g=7 76.3,
+    g=5 77.2 vs ungrouped 99 and packed 91 — small groups win (the one-hot
+    operand, whose streaming load bounds the einsum, grows with g).
+    Returns 0 when no divisor exists (-> ungrouped path).
+    """
+    best = 0
+    for g in range(lo, hi + 1):
+        if q % g == 0 and (best == 0 or abs(g - target) < abs(best - target)
+                           or (abs(g - target) == abs(best - target)
+                               and g > best)):
+            best = g
+    return best
+
+
+def pack_pyramid(pyramid: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray,
+                                                          Tuple[Tuple[int, int], ...]]:
+    """Concatenate a single-channel pyramid into one (Q, sum(H_l), Wp) slab.
+
+    Wp is the widest level padded up to the 128-lane tile.  Done once per
+    forward (outside the iteration loop) so the per-iteration lookup is a
+    single pair of einsums over one contiguous buffer — fewer kernels and a
+    stable layout, which matters more on TPU than the padded-width FLOPs.
+    Returns (packed slab, ((H_l, W_l), ...) level shapes).
+    """
+    q = pyramid[0].shape[0] * (1 if pyramid[0].ndim == 3 else 1)
+    shapes = tuple((int(p.shape[1]), int(p.shape[2])) for p in pyramid)
+    wp = -(-max(w for _, w in shapes) // 128) * 128
+    parts = []
+    for p in pyramid:
+        s = p[..., 0] if p.ndim == 4 else p
+        parts.append(jnp.pad(s, ((0, 0), (0, 0), (0, wp - s.shape[2]))))
+    return jnp.concatenate(parts, axis=1), shapes
+
+
+def lookup_packed(packed: jnp.ndarray, shapes, coords: jnp.ndarray,
+                  radius: int) -> jnp.ndarray:
+    """Lookup on a :func:`pack_pyramid` slab; bit-identical output layout to
+    :func:`corr_pyramid_lookup` for single-channel pyramids.
+
+    Per level l, window slot s = l*n + o selects (bilinearly) row
+    ``row_off[l] + y0/2^l + o - r``; rows outside the level's block are
+    masked so a window never bleeds into the neighbouring level.  The x
+    one-hot needs no mask: each level's rows are zero-padded to Wp, so
+    out-of-width columns read exact zeros (grid_sample zero padding).
+    """
+    b, h1, w1, _ = coords.shape
+    q = b * h1 * w1
+    n = 2 * radius + 1
+    L = len(shapes)
+    m = L * n
+    hsum, wp = packed.shape[1], packed.shape[2]
+    dt = packed.dtype
+    cdtype = jnp.promote_types(coords.dtype, jnp.float32)
+    cf = coords.reshape(q, 2).astype(cdtype)
+
+    lvl = jnp.arange(m) // n                       # (m,) level of each slot
+    off = jnp.arange(m) % n - radius               # (m,) window offset
+    row_off = jnp.asarray(
+        np.cumsum([0] + [h for h, _ in shapes[:-1]]), cdtype)
+    heights = jnp.asarray([h for h, _ in shapes], cdtype)
+    scale = jnp.asarray([2.0 ** i for i in range(L)], cdtype)
+
+    cy = cf[:, 1:2] / scale[None]                  # (q, L)
+    cx = cf[:, 0:1] / scale[None]
+    y0 = jnp.floor(cy)
+    x0 = jnp.floor(cx)
+    fy = (cy - y0)[:, lvl].astype(dt)              # (q, m)
+    fx = (cx - x0)[:, lvl].astype(dt)
+
+    ty = y0[:, lvl] + off[None]                    # (q, m) local target row
+    hl = heights[lvl][None]                        # (1, m)
+    aby = ty + row_off[lvl][None]                  # absolute row of floor tap
+    rows = jnp.arange(hsum, dtype=cdtype)
+    in0 = (ty >= 0) & (ty <= hl - 1)
+    in1 = (ty + 1 >= 0) & (ty + 1 <= hl - 1)
+    e0 = (rows[None, None] == aby[..., None]) & in0[..., None]
+    e1 = (rows[None, None] == (aby + 1)[..., None]) & in1[..., None]
+    ry = (e0.astype(dt) * (1 - fy)[..., None]
+          + e1.astype(dt) * fy[..., None])         # (q, m, hsum)
+
+    tx = x0[:, lvl] + off[None]                    # (q, m) target col
+    cols = jnp.arange(wp, dtype=cdtype)
+    f0 = cols[None, None] == tx[..., None]
+    f1 = cols[None, None] == (tx + 1)[..., None]
+    rx = (f0.astype(dt) * (1 - fx)[..., None]
+          + f1.astype(dt) * fx[..., None])         # (q, m, wp)
+
+    tmp = jnp.einsum("qbv,qvw->qbw", ry, packed,
+                     preferred_element_type=jnp.float32).astype(dt)
+    big = jnp.einsum("qaw,qbw->qab", rx, tmp,
+                     preferred_element_type=jnp.float32).astype(dt)
+    # per-level diagonal 9x9 blocks; a offsets x (the reference quirk)
+    diag = jnp.einsum("qlalb->qlab", big.reshape(q, L, n, L, n))
+    return diag.reshape(b, h1, w1, m * n)
+
+
+def make_corr_lookup(pyramid: Sequence[jnp.ndarray], radius: int,
+                     impl: str = "auto"):
+    """Precompute a lookup closure for this pyramid (call OUTSIDE the scan).
+
+    ``impl`` selects the formulation (all bit-identical):
+    - "auto" (default): block-diagonal grouped with the best divisor of the
+      query count near 8 (fastest measured in-model on v5e), ungrouped
+      per-level if none exists
+    - "packed": levels concatenated into one slab, one einsum pair per
+      iteration (see :func:`lookup_packed`)
+    - "packed_barrier": same, with an optimization barrier pinning the
+      packed slab so its layout materializes outside the iteration loop
+    - "levels": per-level one-hot einsums (smallest one-hot operands)
+    - "levels_barrier": per-level + barrier on the pyramid
+    - "grouped<g>": block-diagonal grouped with group g (e.g. "grouped5")
+    """
+    single = all(p.ndim == 4 and p.shape[3] == 1 for p in pyramid)
+    if not single:
+        return lambda coords: corr_pyramid_lookup(pyramid, coords, radius)
+    if impl == "auto":
+        return lambda coords: corr_pyramid_lookup(pyramid, coords, radius,
+                                                  group=None)
+    if impl.startswith("packed"):
+        packed, shapes = pack_pyramid(pyramid)
+        if impl.endswith("barrier"):
+            packed = jax.lax.optimization_barrier(packed)
+        return lambda coords: lookup_packed(packed, shapes, coords, radius)
+    if impl.startswith("grouped"):
+        g = int(impl[len("grouped"):] or 8)
+        return lambda coords: corr_pyramid_lookup(pyramid, coords, radius,
+                                                  group=g)
+    if impl.endswith("barrier"):
+        pyramid = jax.lax.optimization_barrier(tuple(pyramid))
+    return lambda coords: corr_pyramid_lookup(pyramid, coords, radius,
+                                              group=0)
+
+
 def corr_pyramid_lookup(pyramid: Sequence[jnp.ndarray], coords: jnp.ndarray,
-                        radius: int, group: int = 8) -> jnp.ndarray:
+                        radius: int,
+                        group: Optional[int] = None) -> jnp.ndarray:
     """Sample each pyramid level in a (2r+1)^2 window around coords.
 
     coords: (B, H1, W1, 2) pixel coords (x, y) on the level-0 grid.
@@ -173,11 +312,14 @@ def corr_pyramid_lookup(pyramid: Sequence[jnp.ndarray], coords: jnp.ndarray,
     which run on the MXU instead of as XLA gathers (the reference's
     grid_sample path, corr.py:29-54, is a gather — the #1 TPU bottleneck).
     Single-channel pyramids additionally use the block-diagonal grouped
-    form (see _lookup_grouped) when the query count divides ``group``.
+    form (see _lookup_grouped); ``group=None`` auto-picks the best divisor
+    of the query count near 8 (see ``_best_group``), ``group=0`` disables.
     """
     b_, h1_, w1_, _ = coords.shape
     q_ = b_ * h1_ * w1_
     single_channel = all(p.ndim == 4 and p.shape[3] == 1 for p in pyramid)
+    if group is None and single_channel:
+        group = _best_group(q_)
     if group and group > 1 and single_channel and q_ % group == 0:
         return _lookup_grouped(pyramid, coords, radius, group)
     b, h1, w1, _ = coords.shape

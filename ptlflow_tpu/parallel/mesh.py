@@ -16,6 +16,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(num_nodes: int = 1,
+                     coordinator_address: Optional[str] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize``.
+
+    The TPU-native analog of Lightning's process-group init inside
+    ``strategy.setup_environment`` (reference ptlflow_trainer.py:322-358,
+    num_nodes plumbed at :70-73).  On TPU pods the coordinator/process_id
+    are discovered from the environment, so a bare call suffices; explicit
+    values cover GPU/CPU multi-process runs.  No-op for single-node, and
+    tolerates an already-initialized runtime (SLURM auto-restart re-entry).
+    """
+    if num_nodes <= 1:
+        return
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+        kwargs["num_processes"] = num_nodes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:  # already initialized (resume/restart path)
+        if "already" not in str(e).lower():
+            raise
+
+
 def make_mesh(n_devices: Optional[int] = None, spatial: int = 1,
               devices: Optional[Sequence] = None,
               num_nodes: int = 1) -> Mesh:

@@ -63,22 +63,112 @@ class WandbLogger:
         self.run.finish()
 
 
+class CometLogger:
+    """Comet backend (reference logger.py:118-119: experiment.log_image /
+    log_metrics); requires the optional ``comet_ml`` package."""
+
+    def __init__(self, project: str = "ptlflow_tpu", run_name: str = None):
+        import comet_ml  # optional dependency
+
+        self.experiment = comet_ml.Experiment(project_name=project)
+        if run_name:
+            self.experiment.set_name(run_name)
+
+    def log_scalars(self, scalars: Dict[str, float], step: int):
+        self.experiment.log_metrics(
+            {k: float(v) for k, v in scalars.items()}, step=step)
+
+    def log_image(self, tag: str, image_hwc: np.ndarray, step: int):
+        self.experiment.log_image(image_hwc, name=tag, step=step)
+
+    def flush(self):
+        pass
+
+    def close(self):
+        self.experiment.end()
+
+
+class NeptuneLogger:
+    """Neptune backend (reference logger.py:120-121:
+    experiment[title].log(File.as_image(...))); requires ``neptune``."""
+
+    def __init__(self, project: str = None, run_name: str = None):
+        import neptune  # optional dependency
+
+        self.run = neptune.init_run(project=project, name=run_name)
+        self._neptune = neptune
+
+    def log_scalars(self, scalars: Dict[str, float], step: int):
+        for k, v in scalars.items():
+            self.run[k].append(float(v), step=step)
+
+    def log_image(self, tag: str, image_hwc: np.ndarray, step: int):
+        from neptune.types import File
+
+        img = image_hwc
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        self.run[tag].append(File.as_image(img), step=step)
+
+    def flush(self):
+        pass
+
+    def close(self):
+        self.run.stop()
+
+
+class SwanLabLogger:
+    """SwanLab backend (reference logger.py:127-130: swanlab.Image on a
+    0-255 uint8 array); requires the optional ``swanlab`` package."""
+
+    def __init__(self, project: str = "ptlflow_tpu", run_name: str = None):
+        import swanlab  # optional dependency
+
+        self.run = swanlab.init(project=project, experiment_name=run_name)
+        self._swanlab = swanlab
+
+    def log_scalars(self, scalars: Dict[str, float], step: int):
+        self.run.log({k: float(v) for k, v in scalars.items()}, step=step)
+
+    def log_image(self, tag: str, image_hwc: np.ndarray, step: int):
+        img = image_hwc
+        if img.dtype != np.uint8:
+            img = (255 * np.clip(img, 0, 1)).astype(np.uint8)
+        # reference replaces '/' (logger.py:128)
+        self.run.log({tag.replace("/", "-"): self._swanlab.Image(img)},
+                     step=step)
+
+    def flush(self):
+        pass
+
+    def close(self):
+        self.run.finish()
+
+
+_BACKENDS = {
+    "tensorboard": lambda log_dir, project: TensorBoardLogger(log_dir),
+    "wandb": lambda log_dir, project: WandbLogger(project=project),
+    "comet": lambda log_dir, project: CometLogger(project=project),
+    "neptune": lambda log_dir, project: NeptuneLogger(),
+    "swanlab": lambda log_dir, project: SwanLabLogger(project=project),
+}
+
+
 class MultiLogger:
-    """Fan-out to several backends (reference LoggerCallback dispatches to
-    TB/W&B/Comet/Neptune/SwanLab, logger.py:56-131); backends whose package
-    is missing are skipped with a notice."""
+    """Fan-out to several backends — the 5 the reference LoggerCallback
+    dispatches to (TB/W&B/Comet/Neptune/SwanLab, logger.py:56-131);
+    backends whose package is missing are skipped with a notice."""
 
     def __init__(self, log_dir: str, backends=("tensorboard",),
                  project: str = "ptlflow_tpu"):
         self.loggers = []
         for b in backends:
             try:
-                if b == "tensorboard":
-                    self.loggers.append(TensorBoardLogger(log_dir))
-                elif b == "wandb":
-                    self.loggers.append(WandbLogger(project=project))
-                else:
-                    raise ImportError(f"unknown backend {b}")
+                if b not in _BACKENDS:
+                    raise ImportError(
+                        f"unknown backend {b!r}; available: "
+                        f"{sorted(_BACKENDS)}")
+                self.loggers.append(_BACKENDS[b](log_dir, project))
             except ImportError as e:
                 print(f"[logger] backend '{b}' unavailable: {e}")
 

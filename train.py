@@ -64,28 +64,60 @@ def _parse_args():
     parser.add_argument("--n_devices", type=int, default=None)
     parser.add_argument("--num_nodes", type=int, default=1,
                         help="hybrid (node, data) mesh: leading axis on DCN "
-                        "(reference Trainer(num_nodes=...))")
+                        "(reference Trainer(num_nodes=...)); >1 calls "
+                        "jax.distributed.initialize on startup")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 for multi-host "
+                        "non-TPU-pod runs (TPU pods auto-discover)")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="this process's rank for multi-host "
+                        "non-TPU-pod runs")
     parser.add_argument("--detect_anomaly", action="store_true",
                         help="jax_debug_nans: fail fast on NaN/inf in any "
                         "jitted computation (reference "
                         "Trainer(detect_anomaly=...), ptlflow_trainer.py:103)")
+    parser.add_argument("--loggers", type=str, nargs="*",
+                        default=["tensorboard"],
+                        choices=["tensorboard", "wandb", "comet", "neptune",
+                                 "swanlab", "none"],
+                        help="scalar/image logging backends (the 5 the "
+                        "reference LoggerCallback dispatches to, "
+                        "callbacks/logger.py:56-131); missing packages are "
+                        "skipped with a notice")
+    parser.add_argument("--log_num_images", type=int, default=5,
+                        help="validation flow-grid images logged per "
+                        "validation run (reference LoggerCallback "
+                        "num_images)")
     return parser.parse_args()
 
 
-def run_validation(model, state, dm):
+def run_validation(model, state, dm, logger=None, step=0, num_images=5):
+    import numpy as np
+
     import jax.numpy as jnp
+
+    from ptlflow_tpu.utils.logger import ImageSampler, make_flow_grid
 
     full = nn.merge_params(state.params, state.state)
     results = {}
     for name, loader in zip(dm.val_dataset_names, dm.val_dataloader()):
         metrics = FlowMetrics()
-        for batch in loader:
+        sampler = ImageSampler(num_images=num_images,
+                               epoch_size=max(len(loader), 1)) \
+            if logger is not None else None
+        for i, batch in enumerate(loader):
             inputs = {"images": jnp.asarray(batch["images"])}
             preds = model.forward(full, inputs, training=False)
             targets = {"flows": jnp.asarray(batch["flows"])}
             if "valids" in batch:
                 targets["valids"] = jnp.asarray(batch["valids"])
             metrics.update({"flows": preds["flows"]}, targets)
+            if sampler is not None and sampler.should_log(i):
+                img = np.asarray(batch["images"][0, 0]).transpose(1, 2, 0)
+                pred = np.asarray(preds["flows"][0, 0]).transpose(1, 2, 0)
+                gt = np.asarray(batch["flows"][0, 0]).transpose(1, 2, 0)
+                grid = make_flow_grid(img, pred, gt)
+                logger.log_image(f"val/{name}/{i}", grid, step)
         results[name] = metrics.compute()
     return results
 
@@ -117,6 +149,13 @@ def main():
         train_num_workers=args.train_num_workers)
     dm.setup()
 
+    if args.num_nodes > 1:
+        from ptlflow_tpu.parallel import init_distributed
+
+        init_distributed(num_nodes=args.num_nodes,
+                         coordinator_address=getattr(
+                             args, "coordinator_address", None),
+                         process_id=getattr(args, "process_id", None))
     mesh = make_mesh(args.n_devices, num_nodes=args.num_nodes)
     if not max_steps:
         # epochs -> steps conversion, divided across the data-parallel mesh
@@ -151,6 +190,11 @@ def main():
                                      mode=main_mode)
     best_val = float("inf") if main_mode == "min" else -float("inf")
 
+    from ptlflow_tpu.utils.logger import MultiLogger
+    backends = [b for b in args.loggers if b != "none"]
+    logger = MultiLogger(str(ckpt_dir / "logs"), backends=backends,
+                         project="ptlflow_tpu") if backends else None
+
     step = 0
     t0 = time.perf_counter()
     print(f"training {model_name}: {max_steps} steps, lr={lr}, "
@@ -169,10 +213,20 @@ def main():
                     dt = time.perf_counter() - t0
                     print(f"step {step}/{max_steps} loss={loss:.4f} "
                           f"({step / dt:.2f} it/s)")
+                    if logger is not None:
+                        logger.log_scalars(
+                            {"train/loss": loss,
+                             "train/it_per_s": step / dt}, step)
                 if args.val_dataset and step % args.val_every_n_steps == 0:
-                    results = run_validation(model, state, dm)
+                    results = run_validation(model, state, dm, logger=logger,
+                                             step=step,
+                                             num_images=args.log_num_images)
                     for name, m in results.items():
                         print(f"  val {name}: epe={m.get('epe', -1):.4f}")
+                        if logger is not None:
+                            logger.log_scalars(
+                                {f"val/{name}/{k}": float(v)
+                                 for k, v in m.items()}, step)
                     default = (float("inf") if main_mode == "min"
                                else -float("inf"))
                     score = results[main_name].get(main_key, default)
@@ -185,6 +239,9 @@ def main():
                         best_val = score
                         print(f"  new best {main_key}={score:.4f} -> saved")
 
+    if logger is not None:
+        logger.flush()
+        logger.close()
     save_orbax(str(ckpt_dir / "last"), nn.merge_params(state.params,
                                                        state.state))
     with open(ckpt_dir / "train_info.json", "w") as f:
