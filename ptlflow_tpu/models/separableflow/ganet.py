@@ -34,7 +34,8 @@ def _l1_normalize(g: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     return g / jnp.maximum(denom, 1e-12)
 
 
-def _sga_scan_down(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+def _sga_scan_down(x: jnp.ndarray, g: jnp.ndarray,
+                   unroll: int = 8) -> jnp.ndarray:
     """One SGA direction, scanning axis 0.
 
     x: (H, B, C, W, D); g: (H, B, 5, W).  Returns (H, B, C, W, D).
@@ -57,7 +58,7 @@ def _sga_scan_down(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
         return out, out
 
     out0 = first_row(x[0], f[0])
-    _, ys = jax.lax.scan(step, out0, (x[1:], f[1:]))
+    _, ys = jax.lax.scan(step, out0, (x[1:], f[1:]), unroll=unroll)
     return jnp.concatenate([out0[None], ys], axis=0)
 
 
@@ -66,21 +67,26 @@ def sga(x: jnp.ndarray, g0, g1, g2, g3) -> jnp.ndarray:
 
     x: (B, C, D, H, W); g*: (B, 5, H, W) L1-normalized guidance for
     down/up/right/left.  Returns (B, C, D, H, W).
+
+    Opposite directions share one scan (the flipped volume rides along in
+    the batch axis), halving the sequential step count; ``unroll`` in the
+    scans amortizes TPU loop dispatch overhead over fused steps.
     """
-    # down: scan over H. layout (H, B, C, W, D)
+    b = x.shape[0]
+    # down+up: scan over H. layout (H, 2B, C, W, D); up is H-flipped.
     xs = x.transpose(3, 0, 1, 4, 2)
-    out = _sga_scan_down(xs, g0.transpose(2, 0, 1, 3))
-    best = out
-    # up: flip H
-    out = _sga_scan_down(xs[::-1], g1.transpose(2, 0, 1, 3)[::-1])[::-1]
-    best = jnp.maximum(best, out)
-    # right: scan over W. layout (W, B, C, H, D)
+    xp = jnp.concatenate([xs, xs[::-1]], axis=1)
+    gp = jnp.concatenate([g0.transpose(2, 0, 1, 3),
+                          g1.transpose(2, 0, 1, 3)[::-1]], axis=1)
+    out = _sga_scan_down(xp, gp)
+    best = jnp.maximum(out[:, :b], out[::-1, b:])
+    # right+left: scan over W. layout (W, 2B, C, H, D)
     xs_w = x.transpose(4, 0, 1, 3, 2)
-    gw = lambda g: g.transpose(3, 0, 1, 2)  # noqa: E731
-    out = _sga_scan_down(xs_w, gw(g2))
-    best_w = out
-    out = _sga_scan_down(xs_w[::-1], gw(g3)[::-1])[::-1]
-    best_w = jnp.maximum(best_w, out)
+    xpw = jnp.concatenate([xs_w, xs_w[::-1]], axis=1)
+    gpw = jnp.concatenate([g2.transpose(3, 0, 1, 2),
+                           g3.transpose(3, 0, 1, 2)[::-1]], axis=1)
+    outw = _sga_scan_down(xpw, gpw)
+    best_w = jnp.maximum(outw[:, :b], outw[::-1, b:])
     # (W, B, C, H, D) -> (H, B, C, W, D)
     best = jnp.maximum(best, best_w.transpose(3, 1, 2, 0, 4))
     return best.transpose(1, 2, 4, 0, 3)
@@ -145,7 +151,7 @@ def _nlf_direction(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
         out = row_update(prev, x_r, f_r)
         return out, out
 
-    _, ys = jax.lax.scan(step, out0, (xs[1:], fs[1:]))
+    _, ys = jax.lax.scan(step, out0, (xs[1:], fs[1:]), unroll=4)
     out = jnp.concatenate([out0[None], ys], axis=0)
     return out.transpose(1, 2, 0, 3)
 

@@ -210,17 +210,14 @@ def lookup_1d(corr1d, coords_1c, radius, num_levels=4, clamp_coords=False):
         pos = base / (2 ** i) + dx[None]
         if clamp_coords:
             pos = jnp.clip(pos, -1.0, 1.0)
-        lo = jnp.floor(pos)
-        frac = lo * 0 + (pos - lo)
-        lo_i = lo.astype(jnp.int32)
-        hi_i = lo_i + 1
-        vlo = jnp.where((lo_i >= 0) & (lo_i < dl),
-                        jnp.take_along_axis(
-                            vol, jnp.clip(lo_i, 0, dl - 1), axis=1), 0.0)
-        vhi = jnp.where((hi_i >= 0) & (hi_i < dl),
-                        jnp.take_along_axis(
-                            vol, jnp.clip(hi_i, 0, dl - 1), axis=1), 0.0)
-        out.append(vlo * (1 - frac) + vhi * frac)
+        # Linear interpolation as a dense weight contraction: the weight of
+        # bin d is relu(1 - |pos - d|) — (1-frac) at floor(pos), frac at
+        # floor(pos)+1, zero outside the volume.  A take_along_axis gather
+        # here costs ~12.5 ms/GRU-iter on v5e (gathers serialize); the
+        # dense form is vectorized elementwise work + a tiny reduction.
+        dgrid = jnp.arange(dl, dtype=jnp.float32)
+        wmat = jax.nn.relu(1.0 - jnp.abs(pos[:, :, None] - dgrid))
+        out.append(jnp.einsum("qad,qd->qa", wmat, vol))
         # avg_pool kernel 2 stride 2 along D (drops a trailing odd element)
         even = dl - dl % 2
         vol = 0.5 * (vol[:, 0:even:2] + vol[:, 1:even:2])

@@ -166,6 +166,104 @@ def _triple(v):
     return (v, v, v)
 
 
+def _conv3d_blocked(x, w, stride, padding, rhs_dilation):
+    """3-D conv lowered to one 2-D conv: block the D axis into channels.
+
+    XLA TPU's 3-spatial-dim conv emitter is pathological at the small
+    channel counts cost volumes use (C=8: ~100 GFLOP/s measured on v5e for
+    SeparableFlow's aggregation U-Nets).  Instead, split D into blocks of S
+    outputs, gather each block's input span (halo included) into channels,
+    fold the block index into batch, and run a single NHWC conv whose
+    weight is the D-banded block matrix.  ~(S+kd-1)/kd extra FLOPs, but the
+    MXU runs at full lane width: ~10x faster at C=8 in practice.
+
+    x: (B, D, H, W, C); w: (kd, kh, kw, I, O).  groups==1, D-dilation==1.
+    """
+    b, d, h, wd, c = x.shape
+    kd, kh, kw, ci, co = w.shape
+    sd, sh, sw = stride
+    (pd, _), (ph, ph2), (pw, pw2) = padding
+    _, dh_, dw_ = rhs_dilation
+    dout = (d + 2 * pd - kd) // sd + 1
+    S = min(max(1, 128 // co), dout)
+    G = -(-dout // S)
+    L = (S - 1) * sd + kd
+    need = (G - 1) * S * sd + L
+    xp = jnp.pad(x, ((0, 0), (pd, max(0, need - d - pd)), (0, 0), (0, 0),
+                     (0, 0)))
+    blocks = jnp.stack([xp[:, g * S * sd: g * S * sd + L] for g in range(G)],
+                       axis=1)  # (B, G, L, H, W, C)
+    xc = blocks.transpose(0, 1, 3, 4, 2, 5).reshape(b * G, h, wd, L * c)
+    ind = np.zeros((kd, L, S), np.float32)
+    for do_l in range(S):
+        for t in range(kd):
+            ind[t, do_l * sd + t, do_l] = 1.0
+    wb = jnp.tensordot(jnp.asarray(ind, dtype=w.dtype), w,
+                       axes=[[0], [0]])  # (L, S, kh, kw, I, O)
+    wb = wb.transpose(2, 3, 0, 4, 1, 5).reshape(kh, kw, L * ci, S * co)
+    y = jax.lax.conv_general_dilated(
+        xc, wb, (sh, sw), ((ph, ph2), (pw, pw2)), rhs_dilation=(dh_, dw_),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ho, wo = y.shape[1], y.shape[2]
+    y = y.reshape(b, G, ho, wo, S, co).transpose(0, 1, 4, 2, 3, 5)
+    return y.reshape(b, G * S, ho, wo, co)[:, :dout]
+
+
+def _conv_transpose3d_blocked(x, w, stride, padding, output_padding):
+    """Transposed 3-D conv lowered to one lhs-dilated 2-D conv, same D-axis
+    blocking idea as :func:`_conv3d_blocked`.
+
+    x: (B, D, H, W, C); w: (kd, kh, kw, O, I) (torch orientation per
+    ``ConvTranspose3d._torch_leaves``).  y[do] = sum over (t, di) with
+    do = sd*di + t - pd of x[di] . w[t].
+    """
+    b, d, h, wd, c = x.shape
+    kd, kh, kw, co, ci = w.shape
+    sd, sh, sw = stride
+    pd, ph, pw = padding
+    od, oh, ow = output_padding
+    dout = (d - 1) * sd - 2 * pd + kd + od
+    S = min(max(1, 128 // co), dout)
+    if S > sd:
+        S -= S % sd
+    G = -(-dout // S)
+    if G > 1 and S % sd != 0:
+        S, G = sd, -(-dout // sd)  # uniform blocks require sd | S
+    # block g covers do in [gS, gS+S); contributing di: t = do + pd - sd*di
+    di0 = (pd - kd + 1) // sd  # floor
+    r = pd - sd * di0
+    dl_min = -(-(r - kd + 1) // sd)  # ceil
+    dl_max = (S - 1 + r) // sd
+    di0 += dl_min
+    r -= sd * dl_min
+    L = dl_max - dl_min + 1
+    step = S // sd if G > 1 else 0
+    front = max(0, -di0)
+    last_start = di0 + (G - 1) * step
+    back = max(0, last_start + L - 1 - (d - 1))
+    xp = jnp.pad(x, ((0, 0), (front, back), (0, 0), (0, 0), (0, 0)))
+    blocks = jnp.stack(
+        [xp[:, di0 + front + g * step: di0 + front + g * step + L]
+         for g in range(G)], axis=1)  # (B, G, L, H, W, C)
+    xc = blocks.transpose(0, 1, 3, 4, 2, 5).reshape(b * G, h, wd, L * c)
+    ind = np.zeros((kd, L, S), np.float32)
+    for o_l in range(S):
+        for dl in range(L):
+            t = o_l + r - sd * dl
+            if 0 <= t < kd:
+                ind[t, dl, o_l] = 1.0
+    wf = jnp.transpose(w[:, ::-1, ::-1], (0, 1, 2, 4, 3))  # (kd,kh,kw,I,O)
+    wb = jnp.tensordot(jnp.asarray(ind, dtype=w.dtype), wf, axes=[[0], [0]])
+    wb = wb.transpose(2, 3, 0, 4, 1, 5).reshape(kh, kw, L * ci, S * co)
+    pad_hw = ((kh - 1 - ph, kh - 1 - ph + oh), (kw - 1 - pw, kw - 1 - pw + ow))
+    y = jax.lax.conv_general_dilated(
+        xc, wb, (1, 1), pad_hw, lhs_dilation=(sh, sw),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ho, wo = y.shape[1], y.shape[2]
+    y = y.reshape(b, G, ho, wo, S, co).transpose(0, 1, 4, 2, 3, 5)
+    return y.reshape(b, G * S, ho, wo, co)[:, :dout]
+
+
 class Conv3d(Module):
     """3-D convolution on NDHWC input with DHWIO weights; torch
     ``nn.Conv3d`` (cross-correlation) semantics."""
@@ -209,14 +307,19 @@ class Conv3d(Module):
         return leaves
 
     def __call__(self, params, x, **kwargs):
-        y = jax.lax.conv_general_dilated(
-            x, params["weight"].astype(x.dtype),
-            window_strides=self.stride,
-            padding=self.padding,
-            rhs_dilation=self.dilation,
-            feature_group_count=self.groups,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        )
+        w = params["weight"].astype(x.dtype)
+        if self.groups == 1 and self.dilation[0] == 1:
+            y = _conv3d_blocked(x, w, self.stride, self.padding,
+                                (1,) + self.dilation[1:])
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w,
+                window_strides=self.stride,
+                padding=self.padding,
+                rhs_dilation=self.dilation,
+                feature_group_count=self.groups,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
         if self.use_bias:
             y = y + params["bias"].astype(y.dtype)
         return y
@@ -259,19 +362,9 @@ class ConvTranspose3d(Module):
         return leaves
 
     def __call__(self, params, x, **kwargs):
-        kd, kh, kw = self.kernel_size
-        sd, sh, sw = self.stride
-        pd, ph, pw = self.padding
-        od, oh, ow = self.output_padding
-        pad = ((kd - 1 - pd, kd - 1 - pd + od),
-               (kh - 1 - ph, kh - 1 - ph + oh),
-               (kw - 1 - pw, kw - 1 - pw + ow))
         w = params["weight"].astype(x.dtype)
-        w = w[::-1, ::-1, ::-1]
-        y = jax.lax.conv_general_dilated(
-            x, jnp.swapaxes(w, 3, 4), window_strides=(1, 1, 1),
-            padding=pad, lhs_dilation=(sd, sh, sw),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        y = _conv_transpose3d_blocked(x, w, self.stride, self.padding,
+                                      self.output_padding)
         if self.use_bias:
             y = y + params["bias"].astype(y.dtype)
         return y

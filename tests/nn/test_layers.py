@@ -174,3 +174,40 @@ def test_split_merge_trainable():
     f0 = nn.flatten_params(params)
     f1 = nn.flatten_params(merged)
     assert set(f0) == set(f1)
+
+
+@pytest.mark.parametrize("kernel,stride,pad,d", [
+    ((3, 3, 3), 1, 1, 13), ((3, 3, 3), 2, 1, 97), ((1, 3, 3), 1, (0, 1, 1), 8),
+])
+def test_conv3d_matches_torch(kernel, stride, pad, d):
+    import torch
+    rng = np.random.RandomState(3)
+    conv = nn.Conv3d(5, 7, kernel, stride=stride, padding=pad, bias=True)
+    tconv = torch.nn.Conv3d(5, 7, kernel, stride=stride, padding=pad,
+                            bias=True)
+    params = conv.from_torch(tconv.state_dict())
+    x = rng.randn(2, d, 6, 9, 5).astype(np.float32)
+    ref = tconv(torch.from_numpy(x).permute(0, 4, 1, 2, 3)).detach() \
+        .permute(0, 2, 3, 4, 1).numpy()
+    out = np.asarray(conv(params, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("kernel,stride,pad,outpad,d", [
+    ((4, 4, 4), 2, 1, 0, 13), ((3, 4, 4), 2, 1, 0, 25), ((3, 3, 3), 1, 1, 0, 8),
+    ((4, 4, 4), 2, 1, 1, 9),
+])
+def test_conv_transpose3d_matches_torch(kernel, stride, pad, outpad, d):
+    import torch
+    rng = np.random.RandomState(4)
+    conv = nn.ConvTranspose3d(5, 7, kernel, stride=stride, padding=pad,
+                              output_padding=outpad, bias=True)
+    tconv = torch.nn.ConvTranspose3d(5, 7, kernel, stride=stride, padding=pad,
+                                     output_padding=outpad, bias=True)
+    params = conv.from_torch(tconv.state_dict())
+    x = rng.randn(2, d, 6, 9, 5).astype(np.float32)
+    ref = tconv(torch.from_numpy(x).permute(0, 4, 1, 2, 3)).detach() \
+        .permute(0, 2, 3, 4, 1).numpy()
+    out = np.asarray(conv(params, jnp.asarray(x)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-5)
