@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ... import nn
 from ...nn import Module
-from ...ops.correlation import CorrBlock, coords_grid
+from ...ops.correlation import AltCorrBlock, CorrBlock, coords_grid
 from ...ops.grid_sample import interpolate
 from ...ops.upsample import convex_upsample, upflow
 from ...utils.registry import register_model, ptlflow_trained
@@ -348,9 +348,14 @@ class CCMR(BaseModel):
                  lookup_pyramid_levels: int = 2, lookup_radius: int = 4,
                  model_type: str = "CCMR", cnet_norm: str = "group",
                  fnet_norm: str = "group", num_scales: int = 3,
-                 gamma: float = 0.8, max_flow: float = 400, **kwargs):
+                 gamma: float = 0.8, max_flow: float = 400,
+                 alternate_corr: bool = True, **kwargs):
         super().__init__(output_stride=32,
                          loss_fn=SequenceLoss(gamma, max_flow), **kwargs)
+        # reference default (ccmr.py:52): on-the-fly windowed correlation —
+        # at CCMR+'s 1/2-scale the dense volume is O(70 GB) at Sintel size,
+        # so AltCorrBlock is what makes the fine scales representable.
+        self.alternate_corr = alternate_corr
         self.iters = tuple(iters)
         self.lookup_pyramid_levels = lookup_pyramid_levels
         self.lookup_radius = lookup_radius
@@ -402,9 +407,10 @@ class CCMR(BaseModel):
         up_mask = None
         for index in range(n_levels):
             fmap1, fmap2 = jnp.split(fnet_pyr[index], 2, axis=0)
-            corr_fn = CorrBlock(fmap1, fmap2,
-                                num_levels=self.lookup_pyramid_levels,
-                                radius=self.lookup_radius)
+            corr_cls = AltCorrBlock if self.alternate_corr else CorrBlock
+            corr_fn = corr_cls(fmap1, fmap2,
+                               num_levels=self.lookup_pyramid_levels,
+                               radius=self.lookup_radius)
             cnet = cnet_pyr[index][:b]
             net = jnp.tanh(cnet[..., :128])
             inp = nn.relu(cnet[..., 128:])

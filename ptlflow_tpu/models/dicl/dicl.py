@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from ... import nn
 from ...nn import Module
 from ...ops.correlation import coords_grid
-from ...ops.grid_sample import bilinear_sampler, interpolate
+from ...ops.grid_sample import (bilinear_coverage, bilinear_sampler,
+                                interpolate)
 from ...utils.registry import register_model, trainable
 from ..base.base_model import BaseModel
 
@@ -231,7 +232,7 @@ def dicl_warp(x, flow):
     b, h, w, c = x.shape
     coords = coords_grid(b, h, w, dtype=flow.dtype) + flow
     out = bilinear_sampler(x, coords)
-    mask = bilinear_sampler(jnp.ones((b, h, w, 1), x.dtype), coords)
+    mask = bilinear_coverage(coords, (h, w), dtype=x.dtype)
     return out * (mask >= 0.9999).astype(x.dtype)
 
 

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ... import nn
-from ...ops.correlation import coords_grid
+from ...ops.correlation import coords_grid, local_correlation
 from ...ops.grid_sample import interpolate
 from ...ops.upsample import convex_upsample
 from ...ops.warp import backward_warp
@@ -63,33 +63,59 @@ def global_correlation_softmax(feature0: jnp.ndarray, feature1: jnp.ndarray):
     return flow.astype(feature0.dtype), prob
 
 
+def dispatch_global_matching(model, feature0: jnp.ndarray,
+                             feature1: jnp.ndarray) -> jnp.ndarray:
+    """Global softmax matching, ring-sharded when the model carries a
+    ('data','spatial') mesh (set via validate.py --spatial_shards).
+
+    The ring path (parallel/ring_corr.py) never materializes a full row
+    block of the (HW)^2 score matrix on one device — target shards rotate
+    over ICI with an online-softmax accumulator — so Spring-1080p/4K global
+    matching fits where the dense volume would OOM (SURVEY.md §5.7).
+    """
+    smesh = getattr(model, "spatial_mesh", None)
+    if (smesh is not None and "spatial" in smesh.axis_names
+            and feature0.shape[1] % smesh.shape["spatial"] == 0):
+        from ...parallel.ring_corr import ring_global_correlation_softmax
+
+        return ring_global_correlation_softmax(feature0, feature1, smesh)
+    return global_correlation_softmax(feature0, feature1)[0]
+
+
 def local_correlation_softmax(feature0: jnp.ndarray, feature1: jnp.ndarray,
                               local_radius: int):
-    """Windowed softmax correspondence (matching.py:50-123)."""
-    from ...ops.grid_sample import bilinear_sampler
+    """Windowed softmax correspondence (matching.py:50-123).
 
+    The reference grid_samples feature1 at coords + window — but the window
+    offsets are INTEGER and the query coords are the identity grid, so the
+    whole sampling is a stack of (2r+1)^2 integer shifts: the TPU build
+    computes it via :func:`local_correlation` (pad + static slices, zero
+    gathers; 36 ms -> shift kernels at GMFlow's 1/8 scale on v5e).
+    Out-of-bounds taps, which grid_sample zero-fills and the reference then
+    masks to -1e9, are masked identically here; the soft-argmax
+    correspondence is coords + sum_k prob_k * window_k, accumulated
+    analytically instead of against materialized sample coordinates.
+    """
     b, h, w, c = feature0.shape
     r = local_radius
     n = 2 * r + 1
     coords_init = coords_grid(b, h, w, dtype=jnp.float32)
-    coords = coords_init.reshape(b, h * w, 2)
-    dr = jnp.linspace(-r, r, n, dtype=jnp.float32)
-    wx, wy = jnp.meshgrid(dr, dr, indexing="ij")
-    window = jnp.stack([wx, wy], axis=-1).transpose(1, 0, 2).reshape(-1, 2)
-    sample_coords = coords[:, :, None, :] + window[None, None]  # (B,HW,n2,2)
-    valid = ((sample_coords[..., 0] >= 0) & (sample_coords[..., 0] < w) &
-             (sample_coords[..., 1] >= 0) & (sample_coords[..., 1] < h))
-    sc = sample_coords.reshape(b, h, w * n * n, 2)
-    window_feature = bilinear_sampler(feature1, sc).reshape(b, h * w, n * n, c)
-    corr = jnp.einsum("blc,blkc->blk", feature0.reshape(b, h * w, c),
-                      window_feature,
-                      preferred_element_type=jnp.float32) / (c ** 0.5)
+    # (dy slow, dx fast) — identical to the reference's transposed meshgrid
+    # flattening (matching.py:62-66) and to local_correlation's tap order
+    corr = local_correlation(feature0, feature1, r,
+                             normalize=False) / (c ** 0.5)
+    dr = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    dyy, dxx = jnp.meshgrid(dr, dr, indexing="ij")
+    window = jnp.stack([dxx, dyy], axis=-1).reshape(-1, 2)  # (n2, (x, y))
+    sample_xy = coords_init[:, :, :, None, :] + window[None, None, None]
+    valid = ((sample_xy[..., 0] >= 0) & (sample_xy[..., 0] < w) &
+             (sample_xy[..., 1] >= 0) & (sample_xy[..., 1] < h))
     corr = jnp.where(valid, corr, -1e9)
-    prob = jax.nn.softmax(corr, axis=-1)
-    correspondence = jnp.einsum("blk,blkc->blc", prob,
-                                sample_coords.astype(prob.dtype))
-    flow = correspondence.reshape(b, h, w, 2) - coords_init
-    return flow.astype(feature0.dtype), prob
+    prob = jax.nn.softmax(corr, axis=-1)  # (B, H, W, n2)
+    flow = jnp.einsum("bhwk,kd->bhwd", prob, window,
+                      preferred_element_type=jnp.float32)
+    return (flow.astype(feature0.dtype),
+            prob.reshape(b, h * w, n * n))
 
 
 class GMFlow(BaseModel):
@@ -184,7 +210,7 @@ class GMFlow(BaseModel):
                 attn_num_splits=attn_splits)
 
             if corr_radius == -1:
-                flow_pred = global_correlation_softmax(feature0, feature1)[0]
+                flow_pred = dispatch_global_matching(self, feature0, feature1)
             else:
                 flow_pred = local_correlation_softmax(feature0, feature1,
                                                       corr_radius)[0]

@@ -25,7 +25,8 @@ import numpy as np
 from ... import nn
 from ...ops.correlation import coords_grid, local_correlation
 from ...ops.deform_conv import DeformConv2d
-from ...ops.grid_sample import bilinear_sampler, interpolate
+from ...ops.grid_sample import (bilinear_coverage, bilinear_sampler,
+                                interpolate)
 from ...utils.registry import register_model, trainable
 from ..base import BaseModel
 
@@ -121,7 +122,7 @@ def mfn_warp(x: jnp.ndarray, flow_yx: jnp.ndarray,
         g = jnp.clip(coords / norm - 1.0, -1.1, 1.1)
         coords = (g + 1.0) * norm
     out = bilinear_sampler(x, coords)
-    mask = bilinear_sampler(jnp.ones((b, h, w, 1), x.dtype), coords)
+    mask = bilinear_coverage(coords, (h, w), dtype=x.dtype)
     return out * (mask >= 0.9999).astype(x.dtype)
 
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ... import nn
 from ...nn import Module
-from ...ops.correlation import CorrBlock, coords_grid
+from ...ops.correlation import AltCorrBlock, CorrBlock, coords_grid
 from ...ops.grid_sample import interpolate
 from ...ops.upsample import convex_upsample, upflow
 from ...utils.registry import register_model, trainable, ptlflow_trained
@@ -180,6 +180,7 @@ class MSRAFTPlus(BaseModel):
         self.gamma = gamma
         self.max_flow = max_flow
         self.iters = tuple(iters)
+        self.alternate_corr = alternate_corr
         self.lookup_pyramid_levels = lookup_pyramid_levels
         self.lookup_radius = lookup_radius
         self.hidden_dim = 128
@@ -225,9 +226,15 @@ class MSRAFTPlus(BaseModel):
         up_mask = None
         for index in range(n_levels):
             fmap1, fmap2 = jnp.split(fnet_pyr[index], 2, axis=0)
-            corr_fn = CorrBlock(fmap1, fmap2,
-                                num_levels=self.lookup_pyramid_levels,
-                                radius=self.lookup_radius)
+            # reference default alternate_corr=True (ms_raft_plus.py:78):
+            # the 1/4-scale dense volume is O(4 GB)/Sintel frame, the 1/2
+            # scale O(70 GB) — on-the-fly windowed corr keeps fine scales
+            # representable.
+            corr_cls = (AltCorrBlock if getattr(self, "alternate_corr", True)
+                        else CorrBlock)
+            corr_fn = corr_cls(fmap1, fmap2,
+                               num_levels=self.lookup_pyramid_levels,
+                               radius=self.lookup_radius)
             cnet = cnet_pyr[index][:b]
             net = jnp.tanh(cnet[..., :self.hidden_dim])
             inp = nn.relu(cnet[..., self.hidden_dim:])

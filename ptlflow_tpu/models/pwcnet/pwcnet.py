@@ -17,7 +17,8 @@ import numpy as np
 
 from ... import nn
 from ...ops.correlation import coords_grid, local_correlation
-from ...ops.grid_sample import bilinear_sampler, interpolate
+from ...ops.grid_sample import (bilinear_coverage, bilinear_sampler,
+                                interpolate)
 from ...utils.registry import register_model, trainable, ptlflow_trained
 from ..base import BaseModel
 
@@ -72,7 +73,7 @@ def pwc_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = x.shape
     coords = coords_grid(b, h, w, dtype=flow.dtype) + flow
     out = bilinear_sampler(x, coords)
-    mask = bilinear_sampler(jnp.ones((b, h, w, 1), x.dtype), coords)
+    mask = bilinear_coverage(coords, (h, w), dtype=x.dtype)
     mask = (mask >= 0.9999).astype(x.dtype)
     return out * mask
 

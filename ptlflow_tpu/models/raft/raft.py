@@ -113,11 +113,33 @@ class RAFT(BaseModel):
 
         fmap1 = self.fnet(params["fnet"], image1, training=training)
         fmap2 = self.fnet(params["fnet"], image2, training=training)
-        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,
-                                     dtype=corr_dtype)
-        corr_lookup = make_corr_lookup(pyramid, self.corr_radius,
-                                       impl=getattr(self, "corr_impl",
-                                                    "auto"))
+        smesh = getattr(self, "spatial_mesh", None)
+        if smesh is not None:
+            # Spatially-sharded correlation (SURVEY.md §5.7): the query (H)
+            # axis of the O((HW)^2) volume is sharded over the mesh's
+            # 'spatial' axis, so Spring-1080p/4K volumes that would OOM one
+            # chip split across the slice.  fmap2 stays replicated (every
+            # query row needs the full target); GSPMD inserts the
+            # collectives.  Enabled via validate.py --spatial_shards.
+            from ...parallel.mesh import shard_spatial
+
+            fmap1 = shard_spatial(fmap1, smesh, dim=1)
+            pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,
+                                         dtype=corr_dtype)
+            pyramid = [shard_spatial(p, smesh, dim=0) for p in pyramid]
+            # ungrouped per-level path: queries stay on the leading dim, so
+            # the one-hot einsums shard trivially over 'spatial'
+            inner = make_corr_lookup(pyramid, self.corr_radius, impl="levels")
+
+            def corr_lookup(coords):
+                out = inner(shard_spatial(coords, smesh, dim=1))
+                return shard_spatial(out, smesh, dim=1)
+        else:
+            pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,
+                                         dtype=corr_dtype)
+            corr_lookup = make_corr_lookup(pyramid, self.corr_radius,
+                                           impl=getattr(self, "corr_impl",
+                                                        "auto"))
 
         cnet = self.cnet(params["cnet"], image1, training=training)
         net = jnp.tanh(cnet[..., :self.hidden_dim])

@@ -25,7 +25,7 @@ from ...ops.warp import backward_warp
 from ...utils.registry import register_model, trainable
 from ..base.base_model import BaseModel
 from ..gmflow.backbone import CNNEncoder
-from ..gmflow.gmflow import (SequenceLoss, global_correlation_softmax,
+from ..gmflow.gmflow import (SequenceLoss, dispatch_global_matching,
                              local_correlation_softmax)
 from ..gmflow.transformer import (FeatureFlowAttention, FeatureTransformer,
                                   feature_add_position)
@@ -202,7 +202,7 @@ class UniMatch(BaseModel):
                 attn_num_splits=attn_splits)
 
             if corr_radius == -1:
-                flow_pred = global_correlation_softmax(feature0, feature1)[0]
+                flow_pred = dispatch_global_matching(self, feature0, feature1)
             else:
                 flow_pred = local_correlation_softmax(feature0, feature1,
                                                       corr_radius)[0]
@@ -248,11 +248,31 @@ class UniMatch(BaseModel):
                     net0 = jnp.tanh(net0)
                     inp = nn.relu(inp)
 
+                    # The reference re-gathers an 81-tap bilinear window of
+                    # feature1 at coords+flow EVERY refinement iteration
+                    # (matching.py:126-186) — 6 x 36 ms of gathers on v5e.
+                    # TPU build: the features are loop-invariant, so build
+                    # the all-pairs volume once (one MXU matmul; identical
+                    # math, dot commutes with bilinear interp) and per
+                    # iteration run the tuned one-hot corr lookup, exactly
+                    # like RAFT.  Lookup emits x-major window order; the
+                    # reference's window is y-major — swap the window axes.
+                    from ...ops.correlation import (build_corr_pyramid,
+                                                    make_corr_lookup)
+                    rr = 4
+                    nn_ = 2 * rr + 1
+                    vol = build_corr_pyramid(feature0_ori, feature1_ori,
+                                             num_levels=1)
+                    ref_lookup = make_corr_lookup(vol, rr)
+                    bb, hh, ww, _ = feature0_ori.shape
+                    grid = coords_grid(bb, hh, ww, dtype=jnp.float32)
+
                     def step(flow, _):
                         flow = jax.lax.stop_gradient(flow)
-                        correlation = local_correlation_with_flow(
-                            feature0_ori, feature1_ori, flow=flow,
-                            local_radius=4)
+                        correlation = ref_lookup(grid + flow)
+                        correlation = correlation.reshape(
+                            bb, hh, ww, nn_, nn_).swapaxes(-1, -2).reshape(
+                            bb, hh, ww, nn_ * nn_).astype(feature0_ori.dtype)
                         _, up_mask, residual_flow = self.refine(
                             params["refine"], net0, inp, correlation, flow)
                         flow = flow + residual_flow

@@ -374,25 +374,57 @@ class AltCorrBlock:
             self.f2_pyramid.append(fmap2)
 
     def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
-        from .grid_sample import bilinear_sampler
+        """TPU formulation: ONE integer-window gather per level.
 
+        All (2r+1)^2 window taps share the query's fractional offset, so
+        instead of n^2 bilinear samples (4 corner gathers each — the
+        reference CUDA kernel's memory pattern) this gathers the
+        (n+1)x(n+1) integer patch of fmap2 around floor(coords) once
+        (C-wide rows, the gather-friendly shape), contracts with fmap1 on
+        the channel axis, and applies the shared 2x2 bilinear stencil to
+        the resulting SCALAR grid — 4C fewer bytes per tap and the only
+        gather is patch-shaped.  Matches grid_sample zero padding: taps
+        outside the level are masked to zero before the contraction.
+        """
         b, h, w, c = self.fmap1.shape
         r = self.radius
         n = 2 * r + 1
-        dr = jnp.arange(-r, r + 1, dtype=coords.dtype)
-        da, db = jnp.meshgrid(dr, dr, indexing="ij")
-        # the reference lookup adds its (dy, dx) meshgrid onto (x, y)
-        # coords, so x varies on the SLOW channel axis (corr.py:40-47);
-        # reproduce that channel order exactly
-        offsets = jnp.stack([da, db], axis=-1).reshape(-1, 2)  # (n*n, (x,y))
+        m = n + 1
+        q = h * w
+        f1 = self.fmap1.reshape(b, q, c)
+        cdtype = jnp.promote_types(coords.dtype, jnp.float32)
         outs = []
         for i, f2 in enumerate(self.f2_pyramid):
-            base = coords / 2 ** i
-            sc = (base[:, :, :, None, :] + offsets[None, None, None]
-                  ).reshape(b, h, w * n * n, 2)
-            f2s = bilinear_sampler(f2, sc).reshape(b, h, w, n * n, c)
-            corr = jnp.einsum("bhwc,bhwkc->bhwk", self.fmap1, f2s)
-            outs.append(corr / math.sqrt(c))
+            h2, w2 = f2.shape[1], f2.shape[2]
+            base = (coords.reshape(b, q, 2) / (2 ** i)).astype(cdtype)
+            x0 = jnp.floor(base[..., 0])
+            y0 = jnp.floor(base[..., 1])
+            fx = (base[..., 0] - x0)[..., None, None]  # (b, q, 1, 1)
+            fy = (base[..., 1] - y0)[..., None, None]
+            ty = y0.astype(jnp.int32)[..., None] + jnp.arange(m) - r  # (b,q,m)
+            tx = x0.astype(jnp.int32)[..., None] + jnp.arange(m) - r
+            del x0, y0
+            vy = (ty >= 0) & (ty <= h2 - 1)
+            vx = (tx >= 0) & (tx <= w2 - 1)
+            tyc = jnp.clip(ty, 0, h2 - 1)
+            txc = jnp.clip(tx, 0, w2 - 1)
+            idx = (tyc[:, :, :, None] * w2
+                   + txc[:, :, None, :]).reshape(b, q * m * m)
+            g = jnp.take_along_axis(f2.reshape(b, h2 * w2, c),
+                                    idx[..., None], axis=1)
+            g = g.reshape(b, q, m, m, c)
+            valid = (vy[:, :, :, None] & vx[:, :, None, :])
+            g = g * valid[..., None].astype(g.dtype)
+            d = jnp.einsum("bqc,bqyxc->bqyx", f1, g,
+                           preferred_element_type=jnp.float32)
+            wy0 = (1.0 - fy)
+            wx0 = (1.0 - fx)
+            val = (wy0 * (wx0 * d[:, :, :n, :n] + fx * d[:, :, :n, 1:])
+                   + fy * (wx0 * d[:, :, 1:, :n] + fx * d[:, :, 1:, 1:]))
+            # (b, q, dy, dx) -> reference channel order: x on the SLOW
+            # window axis (corr.py:40-47)
+            val = val.swapaxes(2, 3).reshape(b, h, w, n * n)
+            outs.append((val / math.sqrt(c)).astype(self.fmap1.dtype))
         return jnp.concatenate(outs, axis=-1)
 
 

@@ -82,28 +82,50 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, mode: str = "bilinear",
             out = _gather_2d(imgf, jnp.clip(ix, 0, w - 1), jnp.clip(iy, 0, h - 1))
         return out.reshape(n, ho, wo, c).astype(img.dtype)
 
-    # bilinear
+    # bilinear — single fused gather.
+    #
+    # TPU point-gathers pay a fixed per-point cost, and a C-channel row is
+    # far below the 512 B sublane granule for small C, so 4 separate corner
+    # gathers (the naive formulation) run at ~1 GB/s effective on v5e
+    # (28.9 ms for one 512x1024x3 warp).  Instead the 4 bilinear corners
+    # are packed into the channel axis of ONE (H+1, W+1, 4C) "quad" image
+    # built from a 1-pixel-padded copy (pure shifts, fused by XLA), so the
+    # whole interpolation needs a single gather of 4C-wide rows (7.5x
+    # measured on the MaskFlowNet full-res warp).  The pad ring encodes the
+    # out-of-range corner values (zeros / replicated border) so per-corner
+    # validity only needs the zero-padding weight mask.
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    x1 = x0 + 1.0
-    y1 = y0 + 1.0
-    wx1 = x - x0
-    wx0 = 1.0 - wx1
-    wy1 = y - y0
-    wy0 = 1.0 - wy1
+    wx1 = (x - x0)[..., None]
+    wy1 = (y - y0)[..., None]
+    ix = x0.astype(jnp.int32)
+    iy = y0.astype(jnp.int32)
 
-    out = jnp.zeros((n, ho * wo, c), compute_dtype)
-    for yi, wyi in ((y0, wy0), (y1, wy1)):
-        for xi, wxi in ((x0, wx0), (x1, wx1)):
-            ixi = xi.astype(jnp.int32)
-            iyi = yi.astype(jnp.int32)
-            wgt = wxi * wyi
-            if padding_mode == "zeros":
-                valid = ((ixi >= 0) & (ixi < w) & (iyi >= 0) & (iyi < h))
-                wgt = wgt * valid.astype(compute_dtype)
-            v = _gather_2d(imgf, jnp.clip(ixi, 0, w - 1),
-                           jnp.clip(iyi, 0, h - 1))
-            out = out + v * wgt[..., None]
+    pad_mode = "edge" if padding_mode == "border" else "constant"
+    p = jnp.pad(imgf, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=pad_mode)
+    quad = jnp.concatenate(
+        [p[:, :-1, :-1], p[:, :-1, 1:], p[:, 1:, :-1], p[:, 1:, 1:]],
+        axis=-1)  # (N, H+1, W+1, 4C): [v00, v01, v10, v11] at (y0+1, x0+1)
+    q = _gather_2d(quad, jnp.clip(ix + 1, 0, w), jnp.clip(iy + 1, 0, h))
+    v00, v01, v10, v11 = (q[..., :c], q[..., c:2 * c],
+                          q[..., 2 * c:3 * c], q[..., 3 * c:])
+
+    w00 = (1 - wy1) * (1 - wx1)
+    w01 = (1 - wy1) * wx1
+    w10 = wy1 * (1 - wx1)
+    w11 = wy1 * wx1
+    if padding_mode == "zeros":
+        # the pad ring already zeroes corners one step out of range; mask
+        # the weights for indices beyond the ring (|offset| >= 2)
+        vx0 = ((ix >= 0) & (ix <= w - 1)).astype(compute_dtype)[..., None]
+        vx1 = ((ix >= -1) & (ix <= w - 2)).astype(compute_dtype)[..., None]
+        vy0 = ((iy >= 0) & (iy <= h - 1)).astype(compute_dtype)[..., None]
+        vy1 = ((iy >= -1) & (iy <= h - 2)).astype(compute_dtype)[..., None]
+        w00 = w00 * vy0 * vx0
+        w01 = w01 * vy0 * vx1
+        w10 = w10 * vy1 * vx0
+        w11 = w11 * vy1 * vx1
+    out = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
     return out.reshape(n, ho, wo, c).astype(img.dtype)
 
 
@@ -124,6 +146,40 @@ def bilinear_sampler(img: jnp.ndarray, coords: jnp.ndarray,
         m = ((xgrid > -1) & (ygrid > -1) & (xgrid < 1) & (ygrid < 1))
         return out, m.astype(coords.dtype)
     return out
+
+
+def bilinear_coverage(coords: jnp.ndarray, shape: Tuple[int, int],
+                      dtype=None) -> jnp.ndarray:
+    """Analytic equivalent of ``bilinear_sampler(ones((h, w, 1)), coords)``.
+
+    Several zoo models (MaskFlowNet maskflownet.py:60-64, PWCNet, DICL)
+    build a warp validity mask by bilinearly sampling an all-ones image —
+    a second full gather.  Sampling a constant image only measures how much
+    of the 2x2 stencil is in bounds, which is a closed-form product of the
+    per-axis coverages; this computes it with pure VPU math (zero gathers).
+    The coordinate arithmetic replays bilinear_sampler's normalize/
+    denormalize round trip bit-for-bit so thresholds like ``>= 0.9999``
+    cut at identical pixels.
+    """
+    h, w = shape
+    compute_dtype = jnp.promote_types(coords.dtype, jnp.float32)
+    # identical round trip to bilinear_sampler -> grid_sample(align_corners)
+    gx = 2.0 * coords[..., 0].astype(compute_dtype) / (w - 1) - 1.0
+    gy = 2.0 * coords[..., 1].astype(compute_dtype) / (h - 1) - 1.0
+    x = (gx + 1.0) * 0.5 * (w - 1)
+    y = (gy + 1.0) * 0.5 * (h - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    ix = x0.astype(jnp.int32)
+    iy = y0.astype(jnp.int32)
+    vx0 = ((ix >= 0) & (ix <= w - 1)).astype(compute_dtype)
+    vx1 = ((ix >= -1) & (ix <= w - 2)).astype(compute_dtype)
+    vy0 = ((iy >= 0) & (iy <= h - 1)).astype(compute_dtype)
+    vy1 = ((iy >= -1) & (iy <= h - 2)).astype(compute_dtype)
+    cov = ((vy0 * (1 - fy) + vy1 * fy) * (vx0 * (1 - fx) + vx1 * fx))
+    return cov[..., None].astype(dtype or coords.dtype)
 
 
 def interpolate(x: jnp.ndarray, size: Tuple[int, int], mode: str = "bilinear",

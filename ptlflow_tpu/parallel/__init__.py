@@ -1,5 +1,5 @@
 from .mesh import (make_mesh, data_sharding, replicated, shard_batch,
-                   init_distributed)
+                   shard_spatial, init_distributed)
 from .train import (
     onecycle_linear, make_optimizer, TrainState, create_train_state,
     build_train_step,

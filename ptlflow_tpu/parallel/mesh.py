@@ -90,3 +90,22 @@ def shard_batch(batch, mesh: Mesh):
     """Place a host batch dict onto the mesh, batch dim sharded over 'data'."""
     s = data_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def shard_spatial(x, mesh: Mesh, dim: int = 1, axis: str = "spatial"):
+    """Constrain one dimension of ``x`` to be sharded over the mesh's
+    ``axis`` (GSPMD ``with_sharding_constraint``).
+
+    This is the annotation primitive behind the spatially-sharded
+    correlation path (SURVEY.md §5.7): models pin the query/H axis of the
+    O((HW)^2) cost volume and let XLA's partitioner propagate the sharding
+    (and insert halo exchanges for any convs it reaches).  No-op when the
+    dimension is not divisible by the axis size, so models can annotate
+    unconditionally.
+    """
+    if axis not in mesh.axis_names or x.shape[dim] % mesh.shape[axis] != 0:
+        return x
+    spec = [None] * x.ndim
+    spec[dim] = axis
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))

@@ -52,6 +52,12 @@ def _parse_args():
                         "bfloat16 parameter cast, which, as with the "
                         "reference's fp16, is not supported by every model")
     parser.add_argument("--max_samples", type=int, default=None)
+    parser.add_argument("--spatial_shards", type=int, default=None,
+                        help="shard the correlation volume / global "
+                        "matching over N devices ('spatial' mesh axis) for "
+                        "very high resolutions (Spring 1080p/4K, SURVEY.md "
+                        "§5.7); supported by RAFT-family and GMFlow/"
+                        "UniMatch models")
     return parser.parse_args()
 
 
@@ -166,15 +172,40 @@ def validate(args, model=None, model_name: Optional[str] = None):
     elif args.iters is not None and hasattr(model, "iters"):
         model.iters = args.iters
 
+    if getattr(args, "spatial_shards", None):
+        import jax as _jax
+
+        from ptlflow_tpu.parallel import make_mesh
+
+        n = args.spatial_shards
+        assert len(_jax.devices()) >= n, \
+            f"--spatial_shards {n} needs {n} devices"
+        model.spatial_mesh = make_mesh(n, spatial=n)
+
     if getattr(args, "bf16", False):
         if hasattr(model, "mixed_precision"):
             model.mixed_precision = True
         else:
+            # blind parameter cast — only for models the bf16 sweep verified
+            # (scripts/bf16_sweep.py; analog of the reference's fp16
+            # exclude-list, tests/ptlflow/models/test_models.py:46-57)
+            import json
+
             import jax.numpy as jnp
 
             from ptlflow_tpu import nn as _nn
 
-            model.params = _nn.cast_params(model.params, jnp.bfloat16)
+            allow_path = (Path(ptlflow_tpu.__file__).parent / "utils" /
+                          "bf16_allowlist.json")
+            allow = None
+            if allow_path.exists():
+                with open(allow_path) as f:
+                    allow = set(json.load(f)["allow"])
+            if allow is not None and model_name not in allow:
+                print(f"[{model_name}] not on the bf16 allow-list "
+                      f"({allow_path.name}); validating in fp32")
+            else:
+                model.params = _nn.cast_params(model.params, jnp.bfloat16)
 
     dm = datamodule_from_cfg(cfg, output_stride=model.output_stride,
                              val_dataset=args.val_dataset)
