@@ -253,8 +253,12 @@ class Flow1D(BaseModel):
         image2 = images[:, 1]
         kw = dict(training=training)
 
-        feature1 = self.fnet(params["fnet"], image1, **kw)
-        feature2 = self.fnet(params["fnet"], image2, **kw)
+        # one batched fnet pass over both frames (per-sample norms
+        # make this bit-identical; better MXU fill than 2 calls)
+        _fmaps = self.fnet(params["fnet"],
+                           jnp.concatenate([image1, image2], axis=0),
+                           **kw)
+        feature1, feature2 = jnp.split(_fmaps, 2, axis=0)
         b, h, w, c = feature1.shape
         position = position_embedding_sine(h, w, self.feature_channels // 2,
                                            dtype=feature1.dtype)

@@ -227,6 +227,8 @@ class FlowSeek(BaseModel):
         flow_up0, info_up0 = emit_full(flow_8x, info_8x, weight_update)
 
         if self.iters > 0:
+            # fnet is BatchNorm-based: run per frame like the
+            # reference (train-mode batch stats must match)
             fmap1 = self.fnet(params["fnet"], image1, **kw)
             fmap2 = self.fnet(params["fnet"], image2, **kw)
             fmap1 = jnp.concatenate([fmap1, mono1], axis=-1)

@@ -33,8 +33,8 @@ class ConvGRU(nn.Module):
 
     def __call__(self, params, h, x, **kw):
         hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(self.convz(params["convz"], hx))
-        r = nn.sigmoid(self.convr(params["convr"], hx))
+        z, r = SepConvGRU._zr(self.convz, params["convz"], params["convr"],
+                              hx)
         q = nn.tanh(self.convq(params["convq"],
                                jnp.concatenate([r * h, x], axis=-1)))
         return (1 - z) * h + z * q

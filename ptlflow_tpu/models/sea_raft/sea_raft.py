@@ -193,6 +193,8 @@ class SEARAFT(BaseModel):
                                                    is_flow=False)
 
         if self.iters > 0:
+            # fnet is BatchNorm-based: run per frame like the
+            # reference (train-mode batch stats must match)
             fmap1 = self.fnet(params["fnet"], image1, training=training)
             fmap2 = self.fnet(params["fnet"], image2, training=training)
             pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,

@@ -277,6 +277,11 @@ def make_corr_lookup(pyramid: Sequence[jnp.ndarray], radius: int,
     if not single:
         return lambda coords: corr_pyramid_lookup(pyramid, coords, radius)
     if impl == "auto":
+        # (measured and rejected: padding the query axis to the 128-sublane
+        # tile makes the isolated lookup ~12% faster — q=7875 g=9 0.407
+        # ms/iter vs q=7936 g=8 0.356 — but in-model the one-time pyramid
+        # pad copy plus the per-iteration output slice eat the whole win:
+        # raft_small 57.3 ms padded vs 56.7 grouped on v5e)
         return lambda coords: corr_pyramid_lookup(pyramid, coords, radius,
                                                   group=None)
     if impl.startswith("packed"):

@@ -96,6 +96,24 @@ def test_validate_script_bf16(sintel_cfg, tmp_path):
     assert np.isfinite(metrics["sintel-clean-trainval"]["epe"])
 
 
+def test_validate_script_spatial_shards(sintel_cfg, tmp_path):
+    """--spatial_shards N runs RAFT with the corr volume sharded over the
+    'spatial' mesh axis (SURVEY §5.7 path, 8 virtual CPU devices)."""
+    import validate as validate_mod
+
+    tmp, cfg = sintel_cfg
+    args = argparse.Namespace(
+        model="raft_small", ckpt_path=None, config=None,
+        set=[f"data.dataset_config_path={cfg}"],
+        val_dataset="sintel-clean-trainval", warm_start=False,
+        output_path=str(tmp_path / "out_validate_shards"),
+        write_outputs=False, bf16=False, spatial_shards=8,
+        scale_factor=None, max_forward_side=None, iters=2, max_samples=1,
+        all=False, select=None, exclude=None)
+    metrics = validate_mod.validate(args)
+    assert np.isfinite(metrics["sintel-clean-trainval"]["epe"])
+
+
 def test_validate_script_seq_val_mode(tmp_path):
     """--seq_val_mode selects one GT frame of a multi-frame sequence
     (reference validate.py:423-438)."""
