@@ -45,14 +45,23 @@ def onecycle_linear(max_lr: float, total_steps: int,
 def make_optimizer(lr: float = 1e-4, wdecay: float = 1e-4,
                    total_steps: int = 100000, pct_start: float = 0.05,
                    grad_clip: Optional[float] = 1.0,
-                   schedule: Optional[optax.Schedule] = None
+                   schedule: Optional[optax.Schedule] = None,
+                   accumulate_steps: int = 1
                    ) -> optax.GradientTransformation:
+    """``accumulate_steps > 1`` wraps the chain in ``optax.MultiSteps`` —
+    Lightning's Trainer(accumulate_grad_batches=k) (used by e.g. the
+    reference dpflow-train3-sintel.yaml): gradients average over k
+    micro-batches and the inner optimizer (and its schedule) advances once
+    per k."""
     sched = schedule or onecycle_linear(lr, total_steps, pct_start)
     txs = []
     if grad_clip is not None:
         txs.append(optax.clip_by_global_norm(grad_clip))
     txs.append(optax.adamw(sched, weight_decay=wdecay, eps=1e-8))
-    return optax.chain(*txs)
+    tx = optax.chain(*txs)
+    if accumulate_steps and accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
 
 
 @dataclass

@@ -67,3 +67,33 @@ def test_train_script_max_epochs(tmp_path, monkeypatch):
         "--n_devices", "1",
         "--ckpt_dir", str(tmp_path / "ckpts_ep")])
     train_mod.main()  # 3 samples, bs=2 -> 2 steps; finishes quickly
+
+
+def test_train_script_accumulate_grad_batches(tmp_path, monkeypatch):
+    """--accumulate_grad_batches wraps the optimizer in optax.MultiSteps
+    (Lightning Trainer.accumulate_grad_batches, used by the reference
+    dpflow-train3-sintel.yaml)."""
+    import train as train_mod
+
+    roots = {"flying_chairs": str(dummy_datasets.write_flying_chairs(
+        tmp_path, n=3, size=(128, 128)))}
+    cfg = tmp_path / "datasets.yaml"
+    cfg.write_text(yaml.safe_dump(roots))
+    ckpt_dir = tmp_path / "ckpts_acc"
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "--model", "raft_small",
+        "--set", f"data.dataset_config_path={cfg}",
+        "model.init_args.iters=2", "data.train_num_workers=0",
+        "--train_dataset", "chairs-trainval",
+        "--val_dataset", "chairs-trainval",
+        "--train_batch_size", "1",
+        "--train_crop_size", "128", "128",
+        "--max_steps", "2",
+        "--accumulate_grad_batches", "2",
+        "--val_every_n_steps", "100",
+        "--log_every_n_steps", "1",
+        "--n_devices", "1",
+        "--ckpt_dir", str(ckpt_dir)])
+    train_mod.main()
+    out = ckpt_dir / "raft_small"
+    assert (out / "last").exists()

@@ -57,6 +57,11 @@ def _parse_args():
     parser.add_argument("--train_crop_size", type=int, nargs=2, default=None)
     parser.add_argument("--train_num_workers", type=int, default=None)
     parser.add_argument("--grad_clip", type=float, default=1.0)
+    parser.add_argument("--accumulate_grad_batches", type=int, default=None,
+                        help="average gradients over k micro-batches per "
+                        "optimizer step (Lightning "
+                        "Trainer.accumulate_grad_batches; used by e.g. the "
+                        "dpflow sintel stage)")
     parser.add_argument("--val_every_n_steps", type=int, default=1000)
     parser.add_argument("--log_every_n_steps", type=int, default=100)
     parser.add_argument("--ckpt_dir", type=str, default="ptlflow_checkpoints")
@@ -174,8 +179,13 @@ def main():
                   f"/ {n_dev} devices)")
         else:
             max_steps = 100000
+    accum = (args.accumulate_grad_batches
+             or train_cfg.get("accumulate_grad_batches") or 1)
     tx = make_optimizer(lr=lr, wdecay=wdecay, total_steps=max_steps,
-                        grad_clip=args.grad_clip)
+                        grad_clip=args.grad_clip, accumulate_steps=accum)
+    if accum > 1:
+        print(f"gradient accumulation: {accum} micro-batches per "
+              f"optimizer step")
     state = create_train_state(model, tx, seed=args.seed)
     step_fn = build_train_step(model, tx, mesh=mesh)
 
