@@ -1,0 +1,67 @@
+"""Render outputs/benchmark_tpu/bf16_sweep.csv as a docs table.
+
+Mirrors the reference's explicit fp16 exclude-list
+(/root/reference/tests/ptlflow/models/test_models.py:46-57) as a published
+per-model bfloat16 allow/deny table with the measured flow deltas.
+
+Usage:
+    python scripts/gen_bf16_doc.py [--csv PATH] [--out PATH]
+"""
+
+import argparse
+import csv
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--csv", default="outputs/benchmark_tpu/bf16_sweep.csv")
+    p.add_argument("--out", default="docs/results/bf16_sweep.md")
+    args = p.parse_args()
+
+    with open(REPO / args.csv, newline="") as f:
+        rows = sorted(csv.DictReader(f), key=lambda r: r["model"])
+
+    ok = [r for r in rows if r["ok"] == "True"]
+    bad = [r for r in rows if r["ok"] != "True"]
+
+    lines = [
+        "# bfloat16 zoo sweep",
+        "",
+        "Every registered model run fp32 and bf16 on the same random input "
+        "(`scripts/bf16_sweep.py`); a model passes if the bf16 flow stays "
+        "finite and within 1.0 mean relative delta of fp32 (random weights "
+        "amplify rounding ~10x per refinement iteration, so trained-weight "
+        "deltas are far smaller). Models with a guarded `mixed_precision` "
+        "path use it (mode `mixed_precision`); the rest get a blind "
+        "parameter cast (mode `cast`). The pass set is the allow-list "
+        "consumed by `validate.py --bf16` "
+        "(`ptlflow_tpu/utils/bf16_allowlist.json`); the reference's "
+        "equivalent is its fp16 exclude-list "
+        "(tests/ptlflow/models/test_models.py:46-57).",
+        "",
+        f"**{len(ok)}/{len(rows)} models pass.**",
+        "",
+        "| model | mode | rel. flow delta vs fp32 |",
+        "|---|---|---|",
+    ]
+    for r in ok:
+        lines.append(f"| {r['model']} | {r['mode']} | {r['rel_diff']} |")
+    if bad:
+        lines += ["", "## Excluded (bf16 diverges or fails)", "",
+                  "| model | mode | rel. delta | error |",
+                  "|---|---|---|---|"]
+        for r in bad:
+            err = (r.get("error") or "")[:80]
+            lines.append(f"| {r['model']} | {r['mode']} | "
+                         f"{r['rel_diff'] or '—'} | {err} |")
+    out = REPO / args.out
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text("\n".join(lines) + "\n")
+    print(f"wrote {out} ({len(ok)}/{len(rows)} allowed)")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,8 @@ import pytest  # noqa: E402
 # shared encoder/corr/GRU stack) and the always-cheap checkpoint gate.
 # Fast tier: `pytest -m "not slow"` (infra + data + ops + parallel +
 # script e2e + RAFT oracle), ~15 min on CPU.
-_FAST_MODEL_FILES = {"test_raft.py", "test_checkpoints_gate.py"}
+_FAST_MODEL_FILES = {"test_raft.py", "test_checkpoints_gate.py",
+                     "test_all_models.py"}
 
 
 def pytest_collection_modifyitems(config, items):

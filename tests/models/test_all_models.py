@@ -54,7 +54,28 @@ SKIP = {"dicl", "memfof",  # need >=256px / >=128px; own test files
         "waft_dinov3_a2"}
 
 
-@pytest.mark.parametrize("name", ptlflow_tpu.get_model_names())
+def _family(name):
+    ref = ptlflow_tpu.get_model_reference(name)
+    return ref.__module__.rsplit(".", 2)[-2]
+
+
+def _params():
+    """One variant per family stays in the fast tier (VERDICT: <15-min
+    default tier = infra + one model per family); sibling variants share
+    the same blocks and run in the slow tier with the rest of the zoo."""
+    seen = set()
+    out = []
+    for name in ptlflow_tpu.get_model_names():
+        fam = _family(name)
+        if fam in seen:
+            out.append(pytest.param(name, marks=pytest.mark.slow))
+        else:
+            seen.add(fam)
+            out.append(name)
+    return out
+
+
+@pytest.mark.parametrize("name", _params())
 def test_forward_all_models(name):
     if name in SKIP:
         pytest.skip("covered elsewhere")

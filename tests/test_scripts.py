@@ -187,3 +187,38 @@ def test_summary_metrics_script(sintel_cfg, tmp_path):
     written = sm.summarize(str(tmp_path / "val"), str(tmp_path / "sum"),
                            ["epe", "px1"])
     assert "epe" in written and written["epe"].exists()
+
+
+def test_validate_script_output_flags(sintel_cfg, tmp_path):
+    """--flow_format original/png, --write_individual_metrics,
+    --metric_exclude, and the EPE-map visualization (reference
+    validate.py:90-99,149-165,186-199)."""
+    import validate as validate_mod
+
+    tmp, cfg = sintel_cfg
+    args = argparse.Namespace(
+        model="raft_small", ckpt_path=None, config=None,
+        set=[f"data.dataset_config_path={cfg}"],
+        val_dataset="kitti-2015-trainval", warm_start=False,
+        output_path=str(tmp_path / "out_validate_fmt"), write_outputs=True,
+        scale_factor=None, max_forward_side=None, iters=2, max_samples=1,
+        all=False, select=None, exclude=None,
+        flow_format="original", write_individual_metrics=True,
+        metric_exclude=["wauc"], epe_clip=5.0)
+    metrics = validate_mod.validate(args)
+    m = metrics["kitti-2015-trainval"]
+    assert np.isfinite(m["epe"])
+    assert "wauc" not in m  # --metric_exclude
+    out_dir = tmp_path / "out_validate_fmt" / "raft_small"
+    sub = out_dir / "kitti-2015-trainval"
+    # 'original' on a KITTI dataset -> 16-bit PNG flow files
+    assert (sub / "000000.png").exists()
+    assert not list(sub.glob("*.flo"))
+    assert list(sub.glob("*_epe.png"))  # EPE-map viz
+    ind = out_dir / "kitti-2015-trainval_individual_metrics.csv"
+    assert ind.exists()
+    import csv
+
+    with open(ind) as f:
+        rows = list(csv.DictReader(f))
+    assert rows and "epe" in rows[0]

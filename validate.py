@@ -52,6 +52,28 @@ def _parse_args():
                         "bfloat16 parameter cast, which, as with the "
                         "reference's fp16, is not supported by every model")
     parser.add_argument("--max_samples", type=int, default=None)
+    parser.add_argument("--show", action="store_true",
+                        help="display results on screen (reference "
+                        "validate.py:85-89)")
+    parser.add_argument("--max_show_side", type=int, default=1000,
+                        help="downscale displayed images whose longest side "
+                        "exceeds this (reference validate.py:115-123)")
+    parser.add_argument("--flow_format", type=str, default="original",
+                        choices=("flo", "png", "original"),
+                        help="format for saved flow; 'original' matches the "
+                        "dataset's GT format (reference validate.py:90-99)")
+    parser.add_argument("--reversed", action="store_true",
+                        help="with --all/--select: iterate the model list "
+                        "in reversed order (reference validate.py:137-140)")
+    parser.add_argument("--write_individual_metrics", action="store_true",
+                        help="save a per-image metrics table (reference "
+                        "validate.py:149-153)")
+    parser.add_argument("--epe_clip", type=float, default=5.0,
+                        help="EPE clipping for the error-map visualization "
+                        "(reference validate.py:154-159)")
+    parser.add_argument("--metric_exclude", type=str, nargs="*", default=None,
+                        help="metric names to drop from saved results "
+                        "(reference validate.py:160-165)")
     parser.add_argument("--spatial_shards", type=int, default=None,
                         help="shard the correlation volume / global "
                         "matching over N devices ('spatial' mesh axis) for "
@@ -135,6 +157,7 @@ def validate_one_dataloader(model, loader, dataset_name: str, args,
                     and preds["flows"].shape[1] > 1:
                 preds = dict(preds)
                 preds["flows"] = preds["flows"][:, k:k + 1]
+        targets = None
         if "flows" in batch:
             targets = {"flows": jnp.asarray(batch["flows"])}
             if "valids" in batch:
@@ -142,18 +165,66 @@ def validate_one_dataloader(model, loader, dataset_name: str, args,
             if "occs" in batch:
                 targets["occs"] = jnp.asarray(batch["occs"])
             metrics.update({"flows": preds["flows"]}, targets)
-            last = {k: float(np.asarray(v).mean())
-                    for k, v in metrics._sums.items()}
-        if args.write_outputs:
+            if getattr(args, "write_individual_metrics", False):
+                # per-image metrics table (reference validate.py:149-153,
+                # written at :466-474)
+                one = FlowMetrics()
+                one.update({"flows": preds["flows"]}, targets)
+                rows.append({"dataset": dataset_name, "index": i,
+                             **{k: float(v) for k, v in
+                                one.compute().items()}})
+        if args.write_outputs or getattr(args, "show", False):
             flow = np.transpose(np.asarray(preds["flows"])[0, 0], (1, 2, 0))
             stem = f"{i:06d}"
             sub = out_dir / dataset_name
-            sub.mkdir(parents=True, exist_ok=True)
-            flow_io.flow_write(sub / f"{stem}.flo", flow)
             import cv2 as cv
 
-            cv.imwrite(str(sub / f"{stem}_viz.png"),
-                       flow_to_rgb(flow)[..., ::-1])
+            viz = flow_to_rgb(flow)[..., ::-1]
+            epe_map = None
+            if targets is not None:
+                gt = np.transpose(np.asarray(batch["flows"])[0, 0], (1, 2, 0))
+                epe_map = np.linalg.norm(flow - gt, axis=-1)
+                # EPE visualization clipped at --epe_clip (reference
+                # validate.py:154-159, rendering at :186-199)
+                clip = max(getattr(args, "epe_clip", 5.0), 1e-6)
+                epe_img = (np.clip(epe_map / clip, 0, 1)
+                           * 255).astype(np.uint8)
+                epe_img = cv.applyColorMap(epe_img, cv.COLORMAP_JET)
+            if args.write_outputs:
+                sub.mkdir(parents=True, exist_ok=True)
+                fmt = getattr(args, "flow_format", "original")
+                if fmt == "original":
+                    # match the dataset's own GT format (reference
+                    # validate.py:90-99): KITTI/HD1K use 16-bit PNG,
+                    # everything else .flo
+                    fmt = ("png" if any(s in dataset_name.lower()
+                                        for s in ("kitti", "hd1k"))
+                           else "flo")
+                flow_io.flow_write(sub / f"{stem}.{fmt}", flow)
+                cv.imwrite(str(sub / f"{stem}_viz.png"), viz)
+                if epe_map is not None:
+                    cv.imwrite(str(sub / f"{stem}_epe.png"), epe_img)
+            if getattr(args, "show", False):
+                # --max_show_side downscale (reference validate.py:115-123)
+                side = max(viz.shape[:2])
+                if side > args.max_show_side:
+                    s = args.max_show_side / side
+                    viz = cv.resize(viz, None, fx=s, fy=s)
+                try:
+                    cv.imshow(f"{dataset_name} flow", viz)
+                    cv.waitKey(1)
+                except cv.error as e:  # headless environment
+                    print(f"--show unavailable: {e}")
+                    args.show = False
+    if rows and getattr(args, "write_individual_metrics", False):
+        import csv
+
+        out_dir.mkdir(parents=True, exist_ok=True)
+        with open(out_dir / f"{dataset_name}_individual_metrics.csv", "w",
+                  newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows)
     result = metrics.compute()
     return result
 
@@ -215,8 +286,12 @@ def validate(args, model=None, model_name: Optional[str] = None):
     out_dir.mkdir(parents=True, exist_ok=True)
 
     all_metrics = {}
+    drop = set(getattr(args, "metric_exclude", None) or [])
     for name, loader in zip(dm.val_dataset_names, dm.val_dataloader()):
         m = validate_one_dataloader(model, loader, name, args, out_dir)
+        if drop:
+            # --metric_exclude (reference validate.py:160-165)
+            m = {k: v for k, v in m.items() if k not in drop}
         print(f"[{model_name}] {name}: " +
               ", ".join(f"{k}={v:.4f}" for k, v in sorted(m.items())
                         if k in ("epe", "px1", "flall", "wauc")))
@@ -237,7 +312,11 @@ def validate(args, model=None, model_name: Optional[str] = None):
 
 def validate_list_of_models(args):
     """--all/--select sweep (reference validate.py:276-349)."""
-    names = args.select or ptlflow_tpu.get_model_names()
+    names = list(args.select or ptlflow_tpu.get_model_names())
+    if getattr(args, "reversed", False):
+        # iterate in reversed order so two sweeps can split the zoo from
+        # both ends (reference validate.py:137-140)
+        names.reverse()
     exclude = set(args.exclude or [])
     for name in names:
         if name in exclude:
