@@ -39,6 +39,23 @@ def _parse_args():
     parser.add_argument("--scale_factor", type=float, default=None)
     parser.add_argument("--max_forward_side", type=int, default=None)
     parser.add_argument("--write_viz", action="store_true", default=True)
+    parser.add_argument("--not_write_outputs", action="store_true",
+                        help="do not save flow/viz files (reference "
+                        "infer.py --not_write_outputs)")
+    parser.add_argument("--input_size", type=int, nargs=2, default=[0, 0],
+                        help="if larger than zero, resize the input before "
+                        "forwarding (reference infer.py --input_size)")
+    parser.add_argument("--show", action="store_true",
+                        help="display each result on screen")
+    parser.add_argument("--max_show_side", type=int, default=1000,
+                        help="downscale displayed images whose longest side "
+                        "exceeds this")
+    parser.add_argument("--auto_forward", action="store_true",
+                        help="with --show: advance without waiting for a "
+                        "key press")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 inference (analog of the reference "
+                        "--fp16)")
     return parser.parse_args()
 
 
@@ -95,8 +112,22 @@ def infer(args):
     if model.params is None:
         model.init_params()
 
+    if getattr(args, "bf16", False):
+        if hasattr(model, "mixed_precision"):
+            model.mixed_precision = True
+        else:
+            import jax.numpy as jnp
+
+            from ptlflow_tpu import nn as _nn
+
+            model.params = _nn.cast_params(model.params, jnp.bfloat16)
+
     scale = args.scale_factor
     target_size = None
+    in_size = getattr(args, "input_size", [0, 0]) or [0, 0]
+    if min(in_size) > 0:
+        # fixed forward resolution (reference infer.py --input_size)
+        target_size = tuple(in_size)
     io_adapter = IOAdapter(model, target_scale_factor=scale,
                            target_size=target_size)
 
@@ -116,12 +147,35 @@ def infer(args):
         flow_hwc = np.transpose(flow, (1, 2, 0))
 
         stem = f"{prev_name}"
-        flow_io.flow_write(out_dir / f"{stem}.{args.flow_format}", flow_hwc)
-        if args.write_viz:
+        write = not getattr(args, "not_write_outputs", False)
+        if write:
+            flow_io.flow_write(out_dir / f"{stem}.{args.flow_format}",
+                               flow_hwc)
+        viz = None
+        if (write and args.write_viz) or getattr(args, "show", False):
             import cv2 as cv
 
-            viz = flow_to_rgb(flow_hwc)
-            cv.imwrite(str(out_dir / f"{stem}_viz.png"), viz[..., ::-1])
+            viz = flow_to_rgb(flow_hwc)[..., ::-1]
+            if write and args.write_viz:
+                cv.imwrite(str(out_dir / f"{stem}_viz.png"), viz)
+        if getattr(args, "show", False):
+            import cv2 as cv
+
+            disp = np.concatenate([frame, viz], axis=1)
+            side = max(disp.shape[:2])
+            if side > args.max_show_side:
+                s = args.max_show_side / side
+                disp = cv.resize(disp, None, fx=s, fy=s)
+            try:
+                cv.imshow("ptlflow_tpu infer", disp)
+                # --auto_forward: advance without a key press (reference
+                # infer.py show_outputs); ESC quits either way
+                key = cv.waitKey(1 if args.auto_forward else 0)
+                if key == 27:
+                    break
+            except cv.error as e:  # headless environment
+                print(f"--show unavailable: {e}")
+                args.show = False
 
         if args.gt_path is not None:
             gt = flow_io.flow_read(args.gt_path)

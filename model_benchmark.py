@@ -22,19 +22,43 @@ from ptlflow_tpu import nn
 
 def _parse_args():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--models", type=str, nargs="*", default=None)
+    parser.add_argument("--models", "--select", dest="models", type=str,
+                        nargs="*", default=None)
     parser.add_argument("--all", action="store_true")
     parser.add_argument("--exclude", type=str, nargs="*", default=[])
     parser.add_argument("--input_size", type=int, nargs=2,
                         default=(500, 1000))
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="input batch size (reference model_benchmark.py "
+                        "--batch_size)")
     parser.add_argument("--datatypes", type=str, nargs="*",
                         default=["fp32"], choices=["fp16", "fp32", "bf16"])
     parser.add_argument("--iters", type=int, default=None,
                         help="override model GRU iterations")
     parser.add_argument("--num_samples", type=int, default=3)
+    parser.add_argument("--num_trials", type=int, default=3,
+                        help="timing repeats per model (reference "
+                        "model_benchmark.py --num_trials)")
+    parser.add_argument("--final_speed_mode", type=str, default="min",
+                        choices=["min", "avg", "median"],
+                        help="aggregation over --num_trials (reference "
+                        "model_benchmark.py --final_speed_mode; 'min' is "
+                        "the default here because queue-drain timing noise "
+                        "is strictly additive)")
+    parser.add_argument("--sleep_interval", type=float, default=0.0,
+                        help="seconds to sleep between models (reference "
+                        "model_benchmark.py --sleep_interval)")
     parser.add_argument("--output_path", type=str,
                         default="outputs/benchmark")
     parser.add_argument("--plot", action="store_true")
+    parser.add_argument("--plot_axes", type=str, nargs=2,
+                        default=["params", "time_ms"],
+                        help="CSV columns for the scatter's x and y axes "
+                        "(reference model_benchmark.py --plot_axes)")
+    parser.add_argument("--plot_log_x", action=argparse.BooleanOptionalAction,
+                        default=True)
+    parser.add_argument("--plot_log_y", action=argparse.BooleanOptionalAction,
+                        default=True)
     parser.add_argument("--per_model_timeout", type=int, default=None,
                         help="seconds; abort a single model's benchmark "
                         "(compile included) and continue the sweep")
@@ -56,7 +80,8 @@ def count_flops(compiled):
 
 
 def measure_latency_queue(compiled, summarize, params, inputs,
-                          n_chain: int = 5, repeats: int = 3) -> float:
+                          n_chain: int = 5, repeats: int = 3,
+                          mode: str = "min") -> float:
     """Per-forward latency from the device execution queue: enqueue
     ``n_chain`` forwards back-to-back, then fetch one scalar reduced from the
     last output — the fetch completes only after the queue drains (same
@@ -84,11 +109,18 @@ def measure_latency_queue(compiled, summarize, params, inputs,
             out = compiled(params, inputs)
         float(summarize(out))
         times.append(time.perf_counter() - t0)
-    return (min(times) - overhead) / n_chain
+    if mode == "avg":
+        agg = sum(times) / len(times)
+    elif mode == "median":
+        agg = sorted(times)[len(times) // 2]
+    else:
+        agg = min(times)
+    return (agg - overhead) / n_chain
 
 
 def benchmark_one(name: str, dtype: str, input_size, iters, num_samples,
-                  profile_dir=None):
+                  profile_dir=None, batch_size: int = 1,
+                  num_trials: int = 3, speed_mode: str = "min"):
     import jax
     import jax.numpy as jnp
 
@@ -106,8 +138,9 @@ def benchmark_one(name: str, dtype: str, input_size, iters, num_samples,
     h, w = input_size
     rng = np.random.RandomState(0)
     n_imgs = getattr(model, "required_images", 2)
-    images = jnp.asarray(rng.rand(1, n_imgs, 3, h, w).astype(np.float32),
-                         dtype=jdtype)
+    images = jnp.asarray(
+        rng.rand(batch_size, n_imgs, 3, h, w).astype(np.float32),
+        dtype=jdtype)
     inputs = {"images": images}
 
     def fwd(p, x):
@@ -124,7 +157,8 @@ def benchmark_one(name: str, dtype: str, input_size, iters, num_samples,
     except Exception:
         mem_gb = float("nan")
     latency = measure_latency_queue(compiled, summarize, params, inputs,
-                                    n_chain=num_samples, repeats=3)
+                                    n_chain=num_samples, repeats=num_trials,
+                                    mode=speed_mode)
     if profile_dir is not None:
         try:
             with jax.profiler.trace(str(profile_dir)):
@@ -191,12 +225,19 @@ def main():
                             name, dtype, args.input_size, args.iters,
                             args.num_samples,
                             profile_dir=(out_dir / "trace" if args.profile
-                                         else None))
+                                         else None),
+                            batch_size=args.batch_size,
+                            num_trials=args.num_trials,
+                            speed_mode=args.final_speed_mode)
                     finally:
                         if args.per_model_timeout:
                             import signal
 
                             signal.alarm(0)
+                    if args.sleep_interval > 0:
+                        import time as _time
+
+                        _time.sleep(args.sleep_interval)
                     rows.append(row)
                     writer.writerow({k: row.get(k, "")
                                      for k in fieldnames})
@@ -208,12 +249,15 @@ def main():
                     print(f"[skip] {name}/{dtype}: {e}")
     print(f"wrote {csv_path}")
     if args.plot:
-        save_plot(csv_path, out_dir / "benchmark.png")
+        save_plot(csv_path, out_dir / "benchmark.png",
+                  axes=tuple(args.plot_axes),
+                  log_x=args.plot_log_x, log_y=args.plot_log_y)
 
 
-def save_plot(csv_path, png_path):
-    """Params-vs-latency scatter (reference model_benchmark.py plotly
-    scatter; matplotlib backend here)."""
+def save_plot(csv_path, png_path, axes=("params", "time_ms"),
+              log_x=True, log_y=True):
+    """Column-vs-column scatter (reference model_benchmark.py plotly
+    scatter with --plot_axes/--plot_log_x/--plot_log_y; matplotlib here)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -223,18 +267,26 @@ def save_plot(csv_path, png_path):
         rows = list(csv.DictReader(f))
     if not rows:
         return
+    xcol, ycol = axes
     fig, ax = plt.subplots(figsize=(10, 7))
     for dtype in sorted({r["datatype"] for r in rows}):
-        sel = [r for r in rows if r["datatype"] == dtype]
-        xs = [float(r["params"]) / 1e6 for r in sel]
-        ys = [float(r["time_ms"]) for r in sel]
+        sel = [r for r in rows
+               if r["datatype"] == dtype and r.get(xcol) and r.get(ycol)]
+        xs = [float(r[xcol]) / (1e6 if xcol == "params" else 1.0)
+              for r in sel]
+        ys = [float(r[ycol]) / (1e6 if ycol == "params" else 1.0)
+              for r in sel]
         ax.scatter(xs, ys, label=dtype, alpha=0.7)
         for r, x, y in zip(sel, xs, ys):
             ax.annotate(r["model"], (x, y), fontsize=6, alpha=0.7)
-    ax.set_xlabel("params (M)")
-    ax.set_ylabel("forward time (ms)")
-    ax.set_xscale("log")
-    ax.set_yscale("log")
+    labels = {"params": "params (M)", "time_ms": "forward time (ms)",
+              "fps": "frames/s", "flops": "FLOPs", "mem_gb": "memory (GB)"}
+    ax.set_xlabel(labels.get(xcol, xcol))
+    ax.set_ylabel(labels.get(ycol, ycol))
+    if log_x:
+        ax.set_xscale("log")
+    if log_y:
+        ax.set_yscale("log")
     ax.legend()
     ax.grid(alpha=0.3)
     fig.tight_layout()
