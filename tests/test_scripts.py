@@ -96,6 +96,43 @@ def test_validate_script_bf16(sintel_cfg, tmp_path):
     assert np.isfinite(metrics["sintel-clean-trainval"]["epe"])
 
 
+def test_validate_script_bf16_allowlist_denies(sintel_cfg, tmp_path):
+    """A model the bf16 sweep rejected (gma diverges under the blind cast,
+    outputs/benchmark_tpu/bf16_sweep.csv) must fall back to fp32 instead of
+    being cast — the allow-list consumption VERDICT round 2 asked for."""
+    import json
+
+    import validate as validate_mod
+    from ptlflow_tpu import get_model
+
+    allow_path = (Path(validate_mod.ptlflow_tpu.__file__).parent / "utils" /
+                  "bf16_allowlist.json")
+    if not allow_path.exists():
+        pytest.skip("bf16_allowlist.json not generated")
+    with open(allow_path) as f:
+        allow = set(json.load(f)["allow"])
+    assert "gma" not in allow, "sweep result changed; pick another denied model"
+
+    tmp, cfg = sintel_cfg
+    args = argparse.Namespace(
+        model="gma", ckpt_path=None, config=None,
+        set=[f"data.dataset_config_path={cfg}"],
+        val_dataset="sintel-clean-trainval", warm_start=False,
+        output_path=str(tmp_path / "out_validate_bf16_deny"),
+        write_outputs=False, bf16=True,
+        scale_factor=None, max_forward_side=None, iters=2, max_samples=1,
+        all=False, select=None, exclude=None)
+    model = get_model("gma", args={"iters": 2})
+    model.init_params()
+    metrics = validate_mod.validate(args, model=model, model_name="gma")
+    assert np.isfinite(metrics["sintel-clean-trainval"]["epe"])
+    # parameters must have stayed fp32 (the cast was refused)
+    import jax
+
+    leaf = jax.tree.leaves(model.params)[0]
+    assert leaf.dtype == np.float32
+
+
 def test_validate_script_spatial_shards(sintel_cfg, tmp_path):
     """--spatial_shards N runs RAFT with the corr volume sharded over the
     'spatial' mesh axis (SURVEY §5.7 path, 8 virtual CPU devices)."""
