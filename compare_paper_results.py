@@ -19,10 +19,15 @@ def _parse_args():
     parser.add_argument("--paper_csv", type=str, required=True,
                         help="CSV with columns model,dataset,value")
     parser.add_argument("--output_path", type=str, default="outputs/compare")
+    parser.add_argument("--add_delta", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="include the ours-minus-paper delta column "
+                        "(reference compare_paper_results.py --add_delta)")
     return parser.parse_args()
 
 
-def compare(summary_csv: str, paper_csv: str, output_path: str):
+def compare(summary_csv: str, paper_csv: str, output_path: str,
+            add_delta: bool = True):
     ours = pd.read_csv(summary_csv)
     paper = pd.read_csv(paper_csv)
     rows = []
@@ -31,11 +36,13 @@ def compare(summary_csv: str, paper_csv: str, output_path: str):
         if sel.empty or prow["dataset"] not in sel.columns:
             continue
         our_val = float(sel.iloc[0][prow["dataset"]])
-        rows.append({
+        row = {
             "model": prow["model"], "dataset": prow["dataset"],
             "paper": float(prow["value"]), "ours": our_val,
-            "delta": our_val - float(prow["value"]),
-        })
+        }
+        if add_delta:
+            row["delta"] = our_val - float(prow["value"])
+        rows.append(row)
     df = pd.DataFrame(rows)
     out_dir = Path(output_path)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -49,4 +56,5 @@ def compare(summary_csv: str, paper_csv: str, output_path: str):
 
 if __name__ == "__main__":
     args = _parse_args()
-    compare(args.summary_csv, args.paper_csv, args.output_path)
+    compare(args.summary_csv, args.paper_csv, args.output_path,
+            add_delta=args.add_delta)
