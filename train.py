@@ -56,7 +56,11 @@ def _parse_args():
     parser.add_argument("--train_batch_size", type=int, default=None)
     parser.add_argument("--train_crop_size", type=int, nargs=2, default=None)
     parser.add_argument("--train_num_workers", type=int, default=None)
-    parser.add_argument("--grad_clip", type=float, default=1.0)
+    parser.add_argument("--grad_clip", "--gradient_clip_val",
+                        dest="grad_clip", type=float, default=None,
+                        help="global-norm gradient clip (Lightning "
+                        "Trainer.gradient_clip_val; falls back to the "
+                        "config's trainer.gradient_clip_val, then 1.0)")
     parser.add_argument("--accumulate_grad_batches", type=int, default=None,
                         help="average gradients over k micro-batches per "
                         "optimizer step (Lightning "
@@ -181,8 +185,13 @@ def main():
             max_steps = 100000
     accum = (args.accumulate_grad_batches
              or train_cfg.get("accumulate_grad_batches") or 1)
+    grad_clip = args.grad_clip
+    if grad_clip is None:
+        grad_clip = train_cfg.get("gradient_clip_val", 1.0)
+    if not grad_clip:  # 0 disables clipping (Lightning semantics)
+        grad_clip = None
     tx = make_optimizer(lr=lr, wdecay=wdecay, total_steps=max_steps,
-                        grad_clip=args.grad_clip, accumulate_steps=accum)
+                        grad_clip=grad_clip, accumulate_steps=accum)
     if accum > 1:
         print(f"gradient accumulation: {accum} micro-batches per "
               f"optimizer step")
