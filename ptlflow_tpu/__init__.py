@@ -17,7 +17,27 @@ from . import ops  # noqa: F401
 from .utils.registry import (_models_dict, _trainable_models,
                              _ptlflow_trained_models)
 from .utils.ckpt import restore_model  # noqa: F401
+from .utils.misc import download_scripts  # noqa: F401
 from . import models as _models  # noqa: F401  (triggers registration)
+
+
+def load_checkpoint(ckpt_path: str, model_ref) -> Dict[str, Any]:
+    """Resolve + load a checkpoint without instantiating the model
+    (reference ptlflow/__init__.py:201-251: local path | named pretrained
+    entry -> cached download with hash check). Returns the raw state dict
+    (torch ``state_dict`` layout for .ckpt files, params pytree for orbax
+    directories)."""
+    from .utils import ckpt as _ckpt
+
+    path = _ckpt.resolve_checkpoint_path(model_ref, ckpt_path)
+    if path is None:
+        raise ValueError(f"cannot resolve checkpoint '{ckpt_path}'")
+    from pathlib import Path as _Path
+
+    if _Path(path).is_dir():
+        return _ckpt.load_orbax(path)
+    state, hparams = _ckpt.load_torch_state_dict(path)
+    return {"state_dict": state, "hyper_parameters": hparams}
 
 
 def get_model_reference(model_name: str):

@@ -105,3 +105,19 @@ def test_forward_interpolate_batch_nchw():
     out = np.asarray(forward_interpolate_batch(flow))
     assert out.shape == (2, 2, 8, 8)
     np.testing.assert_allclose(out, flow, atol=1e-5)  # zero flow fixed point
+
+
+def test_public_api_load_checkpoint(tmp_path):
+    """ptlflow_tpu.load_checkpoint resolves local .ckpt files and returns the
+    reference layout (ptlflow/__init__.py:201-251: state_dict +
+    hyper_parameters); download_scripts is exported for API parity."""
+    import torch
+
+    assert callable(ptlflow_tpu.download_scripts)
+    ref = ptlflow_tpu.get_model_reference("raft_small")
+    sd = {"state_dict": {"x": torch.zeros(3)},
+          "hyper_parameters": {"foo": 1}}
+    torch.save(sd, tmp_path / "w.ckpt")
+    out = ptlflow_tpu.load_checkpoint(str(tmp_path / "w.ckpt"), ref)
+    assert out["hyper_parameters"]["foo"] == 1
+    assert "x" in out["state_dict"]
