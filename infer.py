@@ -15,7 +15,8 @@ import numpy as np
 
 from ptlflow_tpu.utils import flow_io
 from ptlflow_tpu.utils.cli import (add_common_model_args, load_config,
-                                   model_from_args)
+                                   model_from_args,
+                                   parse_with_config)
 from ptlflow_tpu.utils.flow_viz import flow_to_rgb
 from ptlflow_tpu.utils.io_adapter import IOAdapter
 
@@ -56,7 +57,7 @@ def _parse_args():
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 inference (analog of the reference "
                         "--fp16)")
-    return parser.parse_args()
+    return parse_with_config(parser)
 
 
 def _imread_checked(path):

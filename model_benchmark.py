@@ -18,10 +18,14 @@ import numpy as np
 
 import ptlflow_tpu
 from ptlflow_tpu import nn
+from ptlflow_tpu.utils.cli import parse_with_config
 
 
 def _parse_args():
     parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", type=str, default=None,
+                        help="YAML with top-level keys matching these flags "
+                        "(e.g. configs/results/model_benchmark_all.yaml)")
     parser.add_argument("--models", "--select", dest="models", type=str,
                         nargs="*", default=None)
     parser.add_argument("--all", action="store_true")
@@ -66,7 +70,7 @@ def _parse_args():
                         help="capture a jax.profiler trace of one forward "
                              "into <output_path>/trace (reference parity: "
                              "model_benchmark.py torch.profiler path)")
-    return parser.parse_args()
+    return parse_with_config(parser)
 
 
 def count_flops(compiled):

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import ast
+import sys
 from typing import Any, Dict, Optional
 
 import yaml
@@ -32,6 +33,30 @@ def add_common_model_args(parser: argparse.ArgumentParser):
                         help="YAML config (model.init_args / data trees)")
     parser.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
                         help="Dotted config overrides, e.g. model.iters=12")
+
+
+def parse_with_config(parser: argparse.ArgumentParser,
+                      argv=None) -> argparse.Namespace:
+    """Parse CLI args with jsonargparse-style precedence
+    (CLI > --config YAML > parser default), as the reference's
+    LightningCLI does: top-level scalar keys in the YAML (e.g. ``all``,
+    ``output_path``, ``metric_exclude`` in
+    configs/results/validate_all.yaml) fill any argument the user left at
+    its parser default."""
+    args = parser.parse_args(argv)
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            cfg = yaml.safe_load(f) or {}
+        passed = {a.split("=")[0].lstrip("-").replace("-", "_")
+                  for a in (argv if argv is not None else sys.argv[1:])
+                  if a.startswith("--")}
+        for action in parser._actions:
+            d = action.dest
+            if d in ("help", "config", "set") or d not in cfg:
+                continue
+            if d not in passed and cfg[d] is not None:
+                setattr(args, d, cfg[d])
+    return args
 
 
 def load_config(args: argparse.Namespace) -> Dict[str, Any]:

@@ -16,7 +16,8 @@ import numpy as np
 
 from ptlflow_tpu.utils import flow_io
 from ptlflow_tpu.utils.cli import (add_common_model_args, datamodule_from_cfg,
-                                   load_config, model_from_args)
+                                   load_config, model_from_args,
+                                   parse_with_config)
 
 
 def _parse_args():
@@ -39,7 +40,7 @@ def _parse_args():
     parser.add_argument("--show", action="store_true",
                         help="display each result on screen")
     parser.add_argument("--max_show_side", type=int, default=1000)
-    return parser.parse_args()
+    return parse_with_config(parser)
 
 
 def generate_outputs(model, loader, dataset_name: str, out_root: Path,

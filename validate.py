@@ -18,7 +18,8 @@ import numpy as np
 import ptlflow_tpu
 from ptlflow_tpu.utils import flow_io
 from ptlflow_tpu.utils.cli import (add_common_model_args, datamodule_from_cfg,
-                                   load_config, model_from_args)
+                                   load_config, model_from_args,
+                                   parse_with_config)
 from ptlflow_tpu.utils.flow_metrics import FlowMetrics
 from ptlflow_tpu.utils.flow_viz import flow_to_rgb
 
@@ -80,7 +81,7 @@ def _parse_args():
                         "very high resolutions (Spring 1080p/4K, SURVEY.md "
                         "§5.7); supported by RAFT-family and GMFlow/"
                         "UniMatch models")
-    return parser.parse_args()
+    return parse_with_config(parser)
 
 
 def _make_scaler(images, args):
