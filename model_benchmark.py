@@ -39,6 +39,12 @@ def _parse_args():
                         default=["fp32"], choices=["fp16", "fp32", "bf16"])
     parser.add_argument("--iters", type=int, default=None,
                         help="override model GRU iterations")
+    parser.add_argument("--corr_dtype", type=str, default=None,
+                        choices=["bfloat16", "float32"],
+                        help="correlation-volume storage dtype for models "
+                        "that expose it (raft/sea_raft families): bfloat16 "
+                        "halves the per-iteration HBM read of the lookup "
+                        "while keeping fp32 accumulation")
     parser.add_argument("--num_samples", type=int, default=3)
     parser.add_argument("--num_trials", type=int, default=3,
                         help="timing repeats per model (reference "
@@ -124,7 +130,8 @@ def measure_latency_queue(compiled, summarize, params, inputs,
 
 def benchmark_one(name: str, dtype: str, input_size, iters, num_samples,
                   profile_dir=None, batch_size: int = 1,
-                  num_trials: int = 3, speed_mode: str = "min"):
+                  num_trials: int = 3, speed_mode: str = "min",
+                  corr_dtype: str = None):
     import jax
     import jax.numpy as jnp
 
@@ -132,6 +139,8 @@ def benchmark_one(name: str, dtype: str, input_size, iters, num_samples,
     if iters is not None:
         args["iters"] = iters
     model = ptlflow_tpu.get_model(name, args=args)
+    if corr_dtype is not None and hasattr(model, "corr_dtype"):
+        model.corr_dtype = jnp.dtype(corr_dtype)
     model.init_params()
     n_params = nn.count_parameters(model.params)
 
@@ -232,7 +241,8 @@ def main():
                                          else None),
                             batch_size=args.batch_size,
                             num_trials=args.num_trials,
-                            speed_mode=args.final_speed_mode)
+                            speed_mode=args.final_speed_mode,
+                            corr_dtype=args.corr_dtype)
                     finally:
                         if args.per_model_timeout:
                             import signal
