@@ -19,8 +19,8 @@ import numpy as np
 import ptlflow_tpu
 from ptlflow_tpu import nn
 from ptlflow_tpu.parallel import (
-    make_mesh, make_optimizer, create_train_state, build_train_step,
-    shard_batch,
+    make_mesh, make_optimizer, TrainState, create_train_state,
+    build_train_step, shard_batch,
 )
 from ptlflow_tpu.utils.checkpoint_manager import CheckpointManager
 from ptlflow_tpu.utils.ckpt import save_orbax
@@ -66,6 +66,16 @@ def _parse_args():
                         "optimizer step (Lightning "
                         "Trainer.accumulate_grad_batches; used by e.g. the "
                         "dpflow sintel stage)")
+    parser.add_argument("--resume", action="store_true",
+                        help="auto-resume from <ckpt_dir>/<model>/last_state "
+                        "(full optimizer+step state), falling back to HPC "
+                        "checkpoints then weights-only 'last' — the "
+                        "reference connector's resume priority "
+                        "(ptlflow_checkpoint_connector.py:46-52)")
+    parser.add_argument("--resume_ckpt", type=str, default=None,
+                        help="explicit checkpoint (orbax dir) to resume "
+                        "from; weight-only checkpoints are tolerated "
+                        "(reference ptlflow_trainer.py:402-408)")
     parser.add_argument("--val_every_n_steps", type=int, default=1000)
     parser.add_argument("--log_every_n_steps", type=int, default=100)
     parser.add_argument("--ckpt_dir", type=str, default="ptlflow_checkpoints")
@@ -209,12 +219,47 @@ def main():
                                      mode=main_mode)
     best_val = float("inf") if main_mode == "min" else -float("inf")
 
+    start_step = 0
+    if args.resume or args.resume_ckpt:
+        import os as _os
+
+        import orbax.checkpoint as ocp
+
+        from ptlflow_tpu.utils.ckpt import load_orbax
+        rpath = args.resume_ckpt
+        if rpath is None:
+            cand = ckpt_dir / "last_state"
+            rpath = (str(cand) if cand.exists()
+                     else ckpt_manager.resolve_resume_path())
+        if rpath is None:
+            print("--resume: no checkpoint found; starting fresh")
+        else:
+            tpl = {"params": state.params, "state": state.state,
+                   "opt_state": state.opt_state, "step": state.step}
+            try:
+                with ocp.StandardCheckpointer() as ckptr:
+                    restored = ckptr.restore(_os.path.abspath(rpath), tpl)
+                state = TrainState(restored["params"], restored["state"],
+                                   restored["opt_state"], restored["step"])
+                start_step = int(restored["step"])
+                print(f"resumed training state from {rpath} "
+                      f"at step {start_step}")
+            except Exception:
+                # weights-only checkpoint: restore params, keep a fresh
+                # optimizer (reference ptlflow_trainer.py:402-408)
+                full = load_orbax(rpath)
+                trainable, bn = nn.split_trainable(
+                    full, getattr(model, "frozen_prefixes", ()))
+                state = TrainState(trainable, bn, state.opt_state,
+                                   state.step)
+                print(f"resumed weights only from {rpath}")
+
     from ptlflow_tpu.utils.logger import MultiLogger
     backends = [b for b in args.loggers if b != "none"]
     logger = MultiLogger(str(ckpt_dir / "logs"), backends=backends,
                          project="ptlflow_tpu") if backends else None
 
-    step = 0
+    step = start_step
     t0 = time.perf_counter()
     print(f"training {model_name}: {max_steps} steps, lr={lr}, "
           f"devices={len(mesh.devices.flat)}")
@@ -257,12 +302,21 @@ def main():
                     if improved:
                         best_val = score
                         print(f"  new best {main_key}={score:.4f} -> saved")
+                    # full resumable state (optimizer + step), refreshed at
+                    # every validation point
+                    save_orbax(str(ckpt_dir / "last_state"),
+                               {"params": state.params, "state": state.state,
+                                "opt_state": state.opt_state,
+                                "step": state.step})
 
     if logger is not None:
         logger.flush()
         logger.close()
     save_orbax(str(ckpt_dir / "last"), nn.merge_params(state.params,
                                                        state.state))
+    save_orbax(str(ckpt_dir / "last_state"),
+               {"params": state.params, "state": state.state,
+                "opt_state": state.opt_state, "step": state.step})
     with open(ckpt_dir / "train_info.json", "w") as f:
         json.dump({"model": model_name, "steps": step, "lr": lr,
                    "best_val": best_val}, f)
