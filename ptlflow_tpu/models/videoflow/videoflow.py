@@ -147,6 +147,7 @@ class VideoFlowBOF(BaseModel):
         flow23 = jnp.zeros((b, hf, wf, 2), images.dtype)
 
         def step(carry, _):
+            in_dtypes = tuple(c.dtype for c in carry)
             flow23, flow21, net = carry
             flow23 = jax.lax.stop_gradient(flow23)
             flow21 = jax.lax.stop_gradient(flow21)
@@ -171,7 +172,11 @@ class VideoFlowBOF(BaseModel):
                     convex_upsample(flow21, mask21, 8), image_resizer,
                     is_flow=True)
                 ys = (up23, up21)
-            return (flow23, flow21, net), ys
+            # pin carry dtypes: mixed-precision runs can upcast inside the
+            # body, and lax.scan requires input/output carry types to match
+            out = tuple(x.astype(d) for x, d in
+                        zip((flow23, flow21, net), in_dtypes))
+            return out, ys
 
         (flow23, flow21, net), ys = jax.lax.scan(
             step, (flow23, flow21, net), None, length=self.decoder_depth)
@@ -386,6 +391,7 @@ class VideoFlowMOF(BaseModel):
             (b, n - 2, hf, wf, 1)).reshape(bn, hf, wf, 48)
 
         def step(carry, _):
+            in_dtypes = tuple(c.dtype for c in carry)
             fwd_flow, bwd_flow, net, mhs = carry
             fwd_flow = jax.lax.stop_gradient(fwd_flow)
             bwd_flow = jax.lax.stop_gradient(bwd_flow)
@@ -408,7 +414,10 @@ class VideoFlowMOF(BaseModel):
                     convex_upsample(bwd_flow, bm, dr), image_resizer,
                     is_flow=True)
                 ys = (fu, bu)
-            return (fwd_flow, bwd_flow, net, mhs), ys
+            # pin carry dtypes (see the BOF scan above)
+            out = tuple(x.astype(d) for x, d in
+                        zip((fwd_flow, bwd_flow, net, mhs), in_dtypes))
+            return out, ys
 
         (fwd_flow, bwd_flow, net, mhs), ys = jax.lax.scan(
             step, (fwd_flow, bwd_flow, net, mhs0), None,
