@@ -131,6 +131,8 @@ class FlowDataModule:
                  **root_dir_overrides):
         self.train_dataset = train_dataset
         self.val_dataset = val_dataset
+        self.train_transform_cuda = train_transform_cuda
+        self.train_transform_fp16 = train_transform_fp16
         self.test_dataset = test_dataset
         self.predict_dataset = predict_dataset
         self.train_batch_size = train_batch_size
@@ -213,6 +215,14 @@ class FlowDataModule:
     # --------------------------------------------------------------- loaders
     def train_dataloader(self):
         assert self.train_data is not None
+        if self.train_transform_cuda:
+            # the jitted device transform must run in the main process
+            # (forked loader workers cannot re-enter an initialized JAX
+            # runtime); the reference has the same constraint on its CUDA
+            # transforms and pins workers (flow_datamodule.py:208-216)
+            if self.train_num_workers:
+                print("train_transform_cuda: forcing train_num_workers=0")
+            self.train_num_workers = 0
         if self.train_num_workers and self.train_num_workers > 0:
             try:
                 from torch.utils.data import DataLoader
@@ -239,7 +249,24 @@ class FlowDataModule:
         fn = getattr(self, f"_get_{name}_dataset", None)
         if fn is None:
             raise ValueError(f"unknown dataset '{name}'")
-        return fn(is_train, *args)
+        ds = fn(is_train, *args)
+        if (is_train and self.train_transform_cuda
+                and isinstance(getattr(ds, "transform", None), ft.Compose)):
+            # Device-side augmentation (the reference's train_transform_cuda,
+            # flow_datamodule.py:318): compile the whole Compose into one
+            # jitted per-sample function; pipelines with no device
+            # equivalent (sparse scatter resize) keep the numpy path.
+            from .device_transforms import DeviceCompose
+
+            max_frames = max(2, int(getattr(ds, "sequence_length", 2) or 2))
+            dev = DeviceCompose.from_compose(ds.transform,
+                                             max_frames=max_frames)
+            if dev is not None:
+                ds.transform = dev
+            else:
+                print(f"[{name}] train_transform_cuda: pipeline has no "
+                      f"device equivalent (sparse resize); using numpy")
+        return ds
 
     def _crop(self, default_hw: Tuple[int, int]) -> Tuple[int, int]:
         md = make_divisible
