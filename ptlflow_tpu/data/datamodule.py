@@ -259,8 +259,14 @@ class FlowDataModule:
             from .device_transforms import DeviceCompose
 
             max_frames = max(2, int(getattr(ds, "sequence_length", 2) or 2))
+            out_dtype = None
+            if self.train_transform_fp16:
+                import jax.numpy as jnp
+
+                out_dtype = jnp.bfloat16  # TPU analog of fp16 transforms
             dev = DeviceCompose.from_compose(ds.transform,
-                                             max_frames=max_frames)
+                                             max_frames=max_frames,
+                                             out_dtype=out_dtype)
             if dev is not None:
                 ds.transform = dev
             else:

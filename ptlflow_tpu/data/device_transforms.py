@@ -237,10 +237,14 @@ class DeviceCompose:
     member with no device equivalent (the caller keeps the numpy path).
     """
 
-    def __init__(self, steps, crop, max_frames: int = 2):
+    def __init__(self, steps, crop, max_frames: int = 2,
+                 out_dtype=None):
         self.steps = tuple(steps)
         self.crop = crop
         self.max_frames = max_frames
+        # the reference's train_transform_fp16 halves transform-output
+        # precision (flow_datamodule.py train_transform_fp16); bf16 here
+        self.out_dtype = out_dtype
         import jax
 
         self._fn = jax.jit(partial(_apply_pipeline, crop=crop,
@@ -249,8 +253,8 @@ class DeviceCompose:
         self._seed = 0
 
     @classmethod
-    def from_compose(cls, compose: ft.Compose,
-                     max_frames: int = 2) -> Optional["DeviceCompose"]:
+    def from_compose(cls, compose: ft.Compose, max_frames: int = 2,
+                     out_dtype=None) -> Optional["DeviceCompose"]:
         steps = []
         crop = None
         for t in compose.transforms:
@@ -282,7 +286,7 @@ class DeviceCompose:
                 return None
         if crop is None:
             return None
-        return cls(steps, crop, max_frames)
+        return cls(steps, crop, max_frames, out_dtype=out_dtype)
 
     # ----------------------------------------------------------- randomness
     def _draw_randoms(self, sample) -> np.ndarray:
@@ -343,6 +347,9 @@ class DeviceCompose:
         rnd = self._draw_randoms(arrays)
         self._seed += 1
         out = self._fn(arrays, jnp.asarray(rnd), np.uint32(self._seed))
-        result = {k: np.asarray(v) for k, v in out.items()}
+        result = {k: np.asarray(v.astype(self.out_dtype)
+                                if self.out_dtype is not None
+                                and k == "images" else v)
+                  for k, v in out.items()}
         result.update(passthrough)
         return result

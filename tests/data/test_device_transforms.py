@@ -138,3 +138,27 @@ def test_datamodule_sparse_keeps_numpy(tmp_path):
                         dataset_config_path=str(cfg))
     dm.setup("fit")
     assert isinstance(dm.train_data.transform, ft.Compose)
+
+
+def test_datamodule_train_transform_fp16(tmp_path):
+    """train_transform_fp16 casts transform-output images to bfloat16 (the
+    reference's fp16 transform flag, TPU analog)."""
+    import yaml
+
+    from ptlflow_tpu.data import dummy_datasets
+    from ptlflow_tpu.data.datamodule import FlowDataModule
+
+    root = dummy_datasets.write_flying_chairs(tmp_path, n=3, size=(128, 128))
+    cfg = tmp_path / "datasets.yaml"
+    cfg.write_text(yaml.safe_dump({"flying_chairs": str(root)}))
+    dm = FlowDataModule(train_dataset="chairs-trainval",
+                        val_dataset=None,
+                        train_batch_size=1, train_num_workers=0,
+                        train_crop_size=(64, 64),
+                        train_transform_cuda=True,
+                        train_transform_fp16=True,
+                        dataset_config_path=str(cfg))
+    dm.setup("fit")
+    batch = next(iter(dm.train_dataloader()))
+    assert batch["images"].dtype.name == "bfloat16"
+    assert batch["flows"].dtype == np.float32  # flow precision kept
