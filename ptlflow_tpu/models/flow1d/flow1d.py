@@ -253,12 +253,11 @@ class Flow1D(BaseModel):
         image2 = images[:, 1]
         kw = dict(training=training)
 
-        # one batched fnet pass over both frames (per-sample norms
-        # make this bit-identical; better MXU fill than 2 calls)
-        _fmaps = self.fnet(params["fnet"],
-                           jnp.concatenate([image1, image2], axis=0),
-                           **kw)
-        feature1, feature2 = jnp.split(_fmaps, 2, axis=0)
+        # two per-frame fnet passes, NOT one batched concat pass: the
+        # batched variant was measured slower on v5e (the concat/split HBM
+        # relayout costs more than the second launch; see raft.py)
+        feature1 = self.fnet(params["fnet"], image1, **kw)
+        feature2 = self.fnet(params["fnet"], image2, **kw)
         b, h, w, c = feature1.shape
         position = position_embedding_sine(h, w, self.feature_channels // 2,
                                            dtype=feature1.dtype)

@@ -111,13 +111,13 @@ class RAFT(BaseModel):
             image1 = image1.astype(jnp.bfloat16)
             image2 = image2.astype(jnp.bfloat16)
 
-        # one batched fnet pass over both frames (as the reference does,
-        # raft.py:137): instance norm is per-sample so this is bit-identical,
-        # and batch 2 fills the MXU better at the encoder's channel widths
-        fmaps = self.fnet(params["fnet"],
-                          jnp.concatenate([image1, image2], axis=0),
-                          training=training)
-        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+        # two per-frame fnet passes, NOT one batched pass over
+        # concat([image1, image2]): the batched variant was measured 21%
+        # slower end-to-end on v5e at 1024x436 (29.0 vs 36.6 fps) — the
+        # concat/split forces an HBM relayout that costs more than the
+        # extra launch, and XLA overlaps the two calls anyway.
+        fmap1 = self.fnet(params["fnet"], image1, training=training)
+        fmap2 = self.fnet(params["fnet"], image2, training=training)
         smesh = getattr(self, "spatial_mesh", None)
         if smesh is not None:
             # Spatially-sharded correlation (SURVEY.md §5.7): the query (H)

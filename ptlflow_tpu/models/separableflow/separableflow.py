@@ -267,12 +267,11 @@ class SeparableFlow(BaseModel):
 
         image1 = images[:, 0]
         image2 = images[:, 1]
-        # one batched fnet pass over both frames (per-sample norms
-        # make this bit-identical; better MXU fill than 2 calls)
-        _fmaps = self.fnet(params["fnet"],
-                           jnp.concatenate([image1, image2], axis=0),
-                           training=training)
-        fmap1, fmap2 = jnp.split(_fmaps, 2, axis=0)
+        # two per-frame fnet passes, NOT one batched concat pass: the
+        # batched variant was measured slower on v5e (the concat/split HBM
+        # relayout costs more than the second launch; see raft.py)
+        fmap1 = self.fnet(params["fnet"], image1, training=training)
+        fmap2 = self.fnet(params["fnet"], image2, training=training)
         guid, guid_u, guid_v = self.guidance(
             params["guidance"], jax.lax.stop_gradient(fmap1), image1,
             training=training)
