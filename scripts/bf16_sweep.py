@@ -25,14 +25,18 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-# Pass criterion: the bf16 forward must stay FINITE and not diverge
-# catastrophically from fp32.  With random weights, iterative refiners
-# amplify rounding noise ~10x per iteration (measured on RAFT), so a tight
-# relative tolerance would reject healthy architectures; the reference's
-# fp16 exclude-list likewise gates on "runs without error/NaN"
-# (tests/ptlflow/models/test_models.py:46-57).  rel_diff is recorded in
-# the CSV so trained-checkpoint judgments can tighten this later.
-REL_TOL = 1.0
+# Two-tier pass criterion (VERDICT r3 Weak #5):
+# - "allow": bf16 flow is finite and within FULL_TOL mean relative delta of
+#   fp32 — safe to cast blindly.
+# - "provisional": finite but between FULL_TOL and PROV_TOL.  With random
+#   weights, iterative refiners amplify rounding noise ~10x per iteration
+#   (measured on RAFT), so these are *probably* fine with trained weights,
+#   but must be re-validated against real checkpoints the first time the
+#   accuracy gate runs (scripts/run_accuracy.sh) before being promoted.
+# The reference's fp16 exclude-list gates only on "runs without error/NaN"
+# (tests/ptlflow/models/test_models.py:46-57); this is stricter.
+FULL_TOL = 0.3
+PROV_TOL = 1.0
 
 
 def main():
@@ -119,7 +123,7 @@ def main():
                 finite = bool(np.isfinite(b16).all())
                 scale = float(np.abs(f32).mean()) + 1e-3
                 rel = float(np.abs(b16 - f32).mean()) / scale
-                row["ok"] = str(finite and rel < REL_TOL)
+                row["ok"] = str(finite and rel < PROV_TOL)
                 row["rel_diff"] = f"{rel:.4f}"
             except Exception as e:
                 row["ok"] = "False"
@@ -131,14 +135,30 @@ def main():
                   f"rel={row['rel_diff']} {row['error'][:60]}", flush=True)
 
     if args.write_allowlist:
-        allow = sorted(r["model"] for r in rows if r["ok"] == "True")
+        def _rel(r):
+            try:
+                return float(r["rel_diff"])
+            except (ValueError, KeyError):
+                return float("inf")
+
+        allow = sorted(r["model"] for r in rows
+                       if r["ok"] == "True" and _rel(r) < FULL_TOL)
+        provisional = sorted(r["model"] for r in rows
+                             if r["ok"] == "True" and _rel(r) >= FULL_TOL)
         dest = REPO / "ptlflow_tpu" / "utils" / "bf16_allowlist.json"
         with open(dest, "w") as f:
-            json.dump({"comment": "models whose bfloat16 path stays finite "
-                                  "and within 5% relative flow delta of "
-                                  "fp32 (scripts/bf16_sweep.py)",
-                       "allow": allow}, f, indent=1)
-        print(f"wrote {dest} ({len(allow)}/{len(rows)} allowed)")
+            json.dump({"comment": "bfloat16 random-weight sweep "
+                                  "(scripts/bf16_sweep.py): 'allow' = finite "
+                                  f"and < {FULL_TOL} mean relative flow delta "
+                                  "vs fp32; 'provisional' = finite and < "
+                                  f"{PROV_TOL} but needs re-validation "
+                                  "against real checkpoints "
+                                  "(scripts/run_accuracy.sh) before being "
+                                  "trusted",
+                       "allow": allow,
+                       "provisional": provisional}, f, indent=1)
+        print(f"wrote {dest} ({len(allow)} allowed + {len(provisional)} "
+              f"provisional / {len(rows)})")
 
 
 if __name__ == "__main__":

@@ -24,31 +24,48 @@ def main():
     with open(REPO / args.csv, newline="") as f:
         rows = sorted(csv.DictReader(f), key=lambda r: r["model"])
 
-    ok = [r for r in rows if r["ok"] == "True"]
+    def _rel(r):
+        try:
+            return float(r["rel_diff"])
+        except (ValueError, KeyError):
+            return float("inf")
+
+    ok = [r for r in rows if r["ok"] == "True" and _rel(r) < 0.3]
+    prov = [r for r in rows if r["ok"] == "True" and _rel(r) >= 0.3]
     bad = [r for r in rows if r["ok"] != "True"]
 
     lines = [
         "# bfloat16 zoo sweep",
         "",
         "Every registered model run fp32 and bf16 on the same random input "
-        "(`scripts/bf16_sweep.py`); a model passes if the bf16 flow stays "
-        "finite and within 1.0 mean relative delta of fp32 (random weights "
-        "amplify rounding ~10x per refinement iteration, so trained-weight "
-        "deltas are far smaller). Models with a guarded `mixed_precision` "
-        "path use it (mode `mixed_precision`); the rest get a blind "
-        "parameter cast (mode `cast`). The pass set is the allow-list "
-        "consumed by `validate.py --bf16` "
-        "(`ptlflow_tpu/utils/bf16_allowlist.json`); the reference's "
-        "equivalent is its fp16 exclude-list "
+        "(`scripts/bf16_sweep.py`). Two tiers (VERDICT r3 Weak #5): "
+        "**allow** = bf16 flow finite and < 0.3 mean relative delta of "
+        "fp32; **provisional** = finite and < 1.0 (random weights amplify "
+        "rounding ~10x per refinement iteration, so trained-weight deltas "
+        "are far smaller — but these entries must be re-validated against "
+        "real checkpoints via `scripts/run_accuracy.sh` before being "
+        "trusted). Models with a guarded `mixed_precision` path use it "
+        "(mode `mixed_precision`); the rest get a blind parameter cast "
+        "(mode `cast`). Both tiers are consumed by `validate.py --bf16` "
+        "(`ptlflow_tpu/utils/bf16_allowlist.json`; provisional models get "
+        "a warning); the reference's equivalent is its fp16 exclude-list "
         "(tests/ptlflow/models/test_models.py:46-57).",
         "",
-        f"**{len(ok)}/{len(rows)} models pass.**",
+        f"**{len(ok)}/{len(rows)} models pass outright; "
+        f"{len(prov)} more are provisional.**",
         "",
         "| model | mode | rel. flow delta vs fp32 |",
         "|---|---|---|",
     ]
     for r in ok:
         lines.append(f"| {r['model']} | {r['mode']} | {r['rel_diff']} |")
+    if prov:
+        lines += ["", "## Provisional (0.3 <= rel delta < 1.0; re-validate "
+                  "with real checkpoints)", "",
+                  "| model | mode | rel. flow delta vs fp32 |",
+                  "|---|---|---|"]
+        for r in prov:
+            lines.append(f"| {r['model']} | {r['mode']} | {r['rel_diff']} |")
     if bad:
         lines += ["", "## Excluded (bf16 diverges or fails)", "",
                   "| model | mode | rel. delta | error |",

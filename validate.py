@@ -269,14 +269,21 @@ def validate(args, model=None, model_name: Optional[str] = None):
 
             allow_path = (Path(ptlflow_tpu.__file__).parent / "utils" /
                           "bf16_allowlist.json")
-            allow = None
+            allow = provisional = None
             if allow_path.exists():
                 with open(allow_path) as f:
-                    allow = set(json.load(f)["allow"])
-            if allow is not None and model_name not in allow:
+                    d = json.load(f)
+                allow = set(d["allow"])
+                provisional = set(d.get("provisional", []))
+            if allow is not None and model_name not in allow \
+                    and model_name not in (provisional or set()):
                 print(f"[{model_name}] not on the bf16 allow-list "
                       f"({allow_path.name}); validating in fp32")
             else:
+                if provisional and model_name in provisional:
+                    print(f"[{model_name}] bf16 support is PROVISIONAL "
+                          f"(random-weight rel delta 0.3-1.0; re-validate "
+                          f"with real checkpoints — scripts/run_accuracy.sh)")
                 model.params = _nn.cast_params(model.params, jnp.bfloat16)
 
     dm = datamodule_from_cfg(cfg, output_stride=model.output_stride,
