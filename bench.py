@@ -37,27 +37,9 @@ def main():
     import jax.numpy as jnp
     import ptlflow_tpu
 
-    model = ptlflow_tpu.get_model("raft", args={"iters": 12})
-    model.init_params()
-    model.scan_unroll = 12  # unrolled GRU loop: ~16% faster than lax.scan
-
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.rand(1, 2, 3, 436, 1024).astype(np.float32))
-
-    fwd = jax.jit(lambda p, x: model.forward(p, {"images": x},
-                                             training=False)["flows"])
     summarize = jax.jit(lambda f: jnp.sum(f[..., :1, :1]))
-
-    # compile + warmup (sync via scalar fetch)
-    float(summarize(fwd(model.params, imgs)))
-
-    def timed_pass():
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(N_RUNS):
-            out = fwd(model.params, imgs)
-        float(summarize(out))  # drains the device queue
-        return time.perf_counter() - t0
 
     # measured null round-trip overhead
     null = jax.jit(lambda a: a + 1.0)
@@ -67,10 +49,42 @@ def main():
                                          time.perf_counter() - t0)[1])()
         for _ in range(5))
 
-    total = min(timed_pass() for _ in range(3))
-    latency = (total - overhead) / N_RUNS
-    fps = 1.0 / latency
+    def measure(mixed_precision: bool) -> float:
+        model = ptlflow_tpu.get_model(
+            "raft", args={"iters": 12, "mixed_precision": mixed_precision})
+        model.init_params()
+        model.scan_unroll = 12  # unrolled GRU: ~16% faster than lax.scan
 
+        fwd = jax.jit(lambda p, x: model.forward(p, {"images": x},
+                                                 training=False)["flows"])
+        # compile + warmup (sync via scalar fetch)
+        float(summarize(fwd(model.params, imgs)))
+
+        def timed_pass():
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(N_RUNS):
+                out = fwd(model.params, imgs)
+            float(summarize(out))  # drains the device queue
+            return time.perf_counter() - t0
+
+        total = min(timed_pass() for _ in range(3))
+        return N_RUNS / (total - overhead)
+
+    # Secondary line: the guarded bf16 mixed-precision path (analog of the
+    # reference's fp16 benchmark column; reference RAFT fp16 is ~84.99 ms at
+    # 500x1000 => ~13.5 fps scaled to 1024x436 pixel count).
+    fps_bf16 = measure(mixed_precision=True)
+    print(json.dumps({
+        "metric": "raft_fps_sintel_1024x436_12iters_mixed_precision",
+        "value": round(fps_bf16, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps_bf16 / BASELINE_FPS, 3),
+    }))
+
+    # Headline (LAST line, parsed by the driver): fp32, directly comparable
+    # with the fp32 reference anchor and with previous rounds.
+    fps = measure(mixed_precision=False)
     print(json.dumps({
         "metric": "raft_fps_sintel_1024x436_12iters",
         "value": round(fps, 3),
