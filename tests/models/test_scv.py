@@ -112,6 +112,30 @@ def test_compute_sparse_corr_topk():
                                   np.sort(ref_idx.numpy(), -1))
 
 
+def test_compute_sparse_corr_topk_blockmax_path():
+    """Large map so ncol > 4096: exercises the block-max exact top-k path
+    (per-128-block max -> top-k blocks -> gather -> top-k of candidates)
+    rather than the small-map direct lax.top_k fallback."""
+    rng = np.random.RandomState(7)
+    b, h, w, c = 1, 40, 110, 8  # n = 4400 > 4096
+    k = 8
+    f1 = rng.randn(b, h, w, c).astype(np.float32)
+    f2 = rng.randn(b, h, w, c).astype(np.float32)
+    corr, coords0, coords1 = compute_sparse_corr(
+        jnp.asarray(f1), jnp.asarray(f2), k=k)
+    t1 = torch.from_numpy(f1).reshape(b, h * w, c)
+    t2 = torch.from_numpy(f2).reshape(b, h * w, c)
+    full = torch.einsum("bnc,bmc->bnm", t1, t2)
+    ref_vals, ref_idx = torch.topk(full, k, dim=2)
+    ref_vals = ref_vals / np.sqrt(c)
+    np.testing.assert_allclose(np.sort(np.asarray(corr), -1),
+                               np.sort(ref_vals.numpy(), -1), atol=1e-4)
+    got_abs = np.asarray(coords1) + np.asarray(coords0)[None, :, None, :]
+    got_n = got_abs[..., 0] * w + got_abs[..., 1]
+    np.testing.assert_array_equal(np.sort(got_n, -1),
+                                  np.sort(ref_idx.numpy(), -1))
+
+
 def test_sparse_windows_vs_torch_sparse(ref):
     """The scatter-splat must equal the reference's torch.sparse pipeline
     (scv.py:252-298) for one scale set."""
