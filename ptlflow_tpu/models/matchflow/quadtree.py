@@ -7,10 +7,19 @@ QuadtreeBlock/LocalFeatureTransformer/PositionEncodingSineNorm/MatchingModel
 :12-387, resnet_fpn.py ResNetFPN_8_2 :46-101).
 
 TPU design: the reference's two CUDA kernels
-(score_computation_kernal.cu, value_aggregation_kernel.cu) are pure
-gather + einsum here — per-head `take_along_axis` of the top-k key/value
-rows followed by batched contractions on the MXU; K is small (16/8/8), so
-the gathered tensors stay tiny relative to full attention.
+(score_computation_kernal.cu, value_aggregation_kernel.cu) are gather +
+einsum here, shaped for the TPU memory system (measured on v5e, where XLA
+gathers cost ~40 ns per gathered row regardless of row width):
+- the 4K fine-level candidates per query group are the 2x2 children of K
+  top-k *parents*, so key and value are laid out as parent-block tables
+  (one row = the 4 children x D of one parent, key and value concatenated)
+  and fetched with ONE `take_along_axis` of K wide rows instead of two
+  gathers of 4K narrow rows — 8x fewer gathered rows for the same bytes;
+- the candidate axis is kept last everywhere, so softmax and lax.top_k
+  run on the lane dimension with no transposes;
+- parent indices flow between levels as raw row-major block ids (the
+  previous level's token index IS the next level's parent-block id), so
+  no coordinate decomposition/re-encoding happens in the loop.
 """
 
 from __future__ import annotations
@@ -24,44 +33,6 @@ import jax
 import jax.numpy as jnp
 
 from ... import nn
-
-
-def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """table: (B, S, H, D); idx: (B, L, J, H) -> (B, L, J, H, D)."""
-    t = table.transpose(0, 2, 1, 3)  # (B, H, S, D)
-    i = idx.transpose(0, 3, 1, 2)  # (B, H, L, J)
-
-    def per_bh(tab, ind):
-        return tab[ind]  # (L, J, D)
-
-    out = jax.vmap(jax.vmap(per_bh))(t, i)  # (B, H, L, J, D)
-    return out.transpose(0, 2, 3, 1, 4)
-
-
-def score_computation(query: jnp.ndarray, key: jnp.ndarray,
-                      idx: jnp.ndarray) -> jnp.ndarray:
-    """QK[b,l,t,j,h] = query[b,l,t,h,:] . key[b, idx[b,l,j,h], h, :]
-    (replaces score_computation_op, score_computation_kernal.cu)."""
-    gathered = _gather_rows(key, idx)  # (B, L, J, H, D)
-    return jnp.einsum("blthd,bljhd->bltjh", query, gathered,
-                      preferred_element_type=jnp.float32).astype(query.dtype)
-
-
-def value_aggregation(a: jnp.ndarray, value: jnp.ndarray,
-                      idx: jnp.ndarray) -> jnp.ndarray:
-    """message[b,l,t,h,:] = sum_j A[b,l,t,j,h] * value[b, idx[b,l,j,h], h, :]
-    (replaces value_aggregation_op, value_aggregation_kernel.cu)."""
-    gathered = _gather_rows(value, idx)  # (B, L, J, H, D)
-    return jnp.einsum("bltjh,bljhd->blthd", a, gathered,
-                      preferred_element_type=jnp.float32).astype(a.dtype)
-
-
-def _topk_penultimate(x: jnp.ndarray, k: int):
-    """top-k over axis -2 (torch.topk(dim=-2) parity); k is clamped to the
-    axis size so small inputs (e.g. tiny tiles) stay valid."""
-    xt = jnp.swapaxes(x, -1, -2)
-    vals, idx = jax.lax.top_k(xt, min(k, xt.shape[-1]))
-    return jnp.swapaxes(vals, -1, -2), jnp.swapaxes(idx, -1, -2)
 
 
 class QTAttB(nn.Module):
@@ -89,80 +60,102 @@ class QTAttB(nn.Module):
         q = query.reshape(b, h * w, self.nhead, d)
         k = key.reshape(b, h * w, self.nhead, d)
         v = value.reshape(b, h * w, self.nhead, d)
-        qk = jnp.einsum("nlhd,nshd->nlsh", q, k,
+        # candidate axis (s) last: softmax and top_k run lane-wise; top_k
+        # selects on the RAW scores — softmax is strictly monotone over the
+        # candidate axis, so indices (incl. tie order) are identical and
+        # the sort does not force a relayout of the softmax output
+        qk = jnp.einsum("nlhd,nshd->nlhs", q, k,
                         preferred_element_type=jnp.float32)
-        a = nn.softmax(qk / math.sqrt(d), axis=-2).astype(query.dtype)
-        topk_score, topk_idx = _topk_penultimate(a, topk)
-        message = jnp.einsum("nlsh,nshd->nlhd", a, v,
+        a = nn.softmax(qk / math.sqrt(d), axis=-1).astype(query.dtype)
+        _, topk_idx = jax.lax.top_k(qk, min(topk, qk.shape[-1]))
+        message = jnp.einsum("nlhs,nshd->nlhd", a, v,
                              preferred_element_type=jnp.float32).astype(
             query.dtype)
-        return message, topk_score, topk_idx
+        # (B, L, H, K) -> (B, H, L, K): coarse token index == row-major
+        # parent-block id on the next (2x finer) level
+        return message, topk_idx.transpose(0, 2, 1, 3)
 
-    def _fine(self, query, key, value, topk_score, topk_pos, topk_prev,
-              topk):
+    def _fine(self, query, key, value, topk_pidx, topk):
+        """One refinement level.
+
+        topk_pidx: (B, H, Lp, K) row-major parent-block ids selected at the
+        previous level (Lp = number of parent pixels = h/2 * w/2 here).
+        """
         b, h, w, c = key.shape
-        d = c // self.nhead
-        k = key.reshape(b, h * w, self.nhead, d)
-        v = value.reshape(b, h * w, self.nhead, d)
+        nh = self.nhead
+        d = c // nh
+        hp, wp = h // 2, w // 2
+        npar = hp * wp
+        lp, kk = topk_pidx.shape[2], topk_pidx.shape[3]
+
+        # parent-block tables: row p = the 2x2 children of parent p, child
+        # order (x, y) row-major; key and value concatenated so the top-k
+        # candidates arrive in ONE wide-row gather
+        def block(t):
+            t = t.reshape(b, hp, 2, wp, 2, nh, d)
+            t = t.transpose(0, 5, 1, 3, 2, 4, 6)  # (B, H, hp, wp, x, y, D)
+            return t.reshape(b * nh, npar, 4 * d)
+
+        kv = jnp.concatenate([block(key), block(value)], axis=-1)
+        g = jnp.take_along_axis(
+            kv, topk_pidx.reshape(b * nh, lp * kk, 1), axis=1)
+        g = g.reshape(b, nh, lp, kk, 2, 4, d)
+        gk = g[:, :, :, :, 0].reshape(b, nh, lp, kk * 4, d)
+        gv = g[:, :, :, :, 1].reshape(b, nh, lp, kk * 4, d)
+
         # query grouped into 4 children per parent pixel
-        q = query.reshape(b, h // 2, 2, w // 2, 2, c)
-        q = q.transpose(0, 1, 3, 2, 4, 5).reshape(
-            b, (h // 2) * (w // 2), 4, self.nhead, d)
+        q = query.reshape(b, hp, 2, wp, 2, c)
+        q = q.transpose(0, 1, 3, 2, 4, 5).reshape(b, npar, 4, nh, d)
 
-        # children indices of the previous level's top-k positions
-        topk_pos = topk_pos * 2
-        idx_list = []
-        for x in (0, 1):
-            for y in (0, 1):
-                idx_list.append((topk_pos[0] + x) * w + topk_pos[1] + y)
-        idx = jnp.stack(idx_list, axis=3)  # (B, L, K, 4, H)
-        lpar = idx.shape[1]
-        # K may have been clamped below the configured top-k on tiny maps
-        kprev4 = idx.shape[2] * 4
-        idx = idx.reshape(b, lpar, kprev4, self.nhead)
+        # candidate axis (j = k-major, child-minor, matching the gathered
+        # row layout) last: softmax/top_k lane-wise, no transposes
+        qk = jnp.einsum("blthd,bhljd->blthj", q, gk,
+                        preferred_element_type=jnp.float32)
+        a = nn.softmax(qk / math.sqrt(d), axis=-1).astype(query.dtype)
+        message = jnp.einsum("blthj,bhljd->blthd", a, gv,
+                             preferred_element_type=jnp.float32).astype(
+            query.dtype)  # (B, Lp, 4, H, D)
 
-        qk = score_computation(q, k, idx)  # (B, L, 4, 4K, H)
-        a = nn.softmax(qk.astype(jnp.float32) / math.sqrt(d),
-                       axis=-2).astype(query.dtype)
-        a = a.reshape(b, lpar, 4, kprev4, self.nhead)
-        message = value_aggregation(a, v, idx)  # (B, L, 4, H, D)
+        # top_k on the RAW scores (same selection: softmax is monotone);
+        # candidate j = (parent slot k, child c) decodes ARITHMETICALLY to
+        # an absolute map position (== next level's parent-block id), so no
+        # scalar gather is needed — the parent-slot pick is a one-hot
+        # einsum over the tiny K axis (exact: block ids < 2^24 in fp32)
+        _, sel = jax.lax.top_k(qk, min(topk, qk.shape[-1]))
+        ksel, csel = sel // 4, sel % 4  # (B, Lp, 4, H, Kn)
+        oh = (ksel[..., None]
+              == jnp.arange(kk)).astype(jnp.float32)  # (B,Lp,4,H,Kn,K)
+        pid = jnp.einsum("blthsk,bhlk->blths", oh,
+                         topk_pidx.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        pid = pid.astype(jnp.int32)
+        pr, pc = pid // wp, pid % wp
+        topk_idx = (pr * 2 + csel // 2) * w + pc * 2 + csel % 2
 
-        topk_score, topk_sel = _topk_penultimate(a, topk)
-        # map selected positions back to key indices
-        idx_rep = jnp.broadcast_to(idx[:, :, None],
-                                   (b, lpar, 4, kprev4, self.nhead))
-        topk_idx = jnp.take_along_axis(idx_rep, topk_sel, axis=-2)
-        # reshape (L, 4) child blocks back to the fine pixel enumeration
-        hp = h // 2
-
-        def unblock(t):
-            bb, _, _, kk, nh = t.shape
-            t = t.reshape(bb, hp, w // 2, 2, 2, kk, nh)
+        # reshape (Lp, 4) child blocks back to the fine pixel enumeration
+        def unblock(t):  # (B, Lp, 4, H, K) -> (B, h*w, H, K)
+            bb, _, _, hh, ko = t.shape
+            t = t.reshape(bb, hp, wp, 2, 2, hh, ko)
             return t.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
-                bb, h * w, kk, nh)
+                bb, h * w, hh, ko)
 
-        return message, unblock(topk_score), unblock(topk_idx)
+        return message, unblock(topk_idx).transpose(0, 2, 1, 3)
 
     def __call__(self, params, queries, keys, values, **kw):
         """queries/keys/values: list of NHWC maps, finest first."""
         messages = []
         topk = self.topks[0]
-        topk_score = topk_idx = topk_pos = None
+        topk_idx = None
         n_lvl = len(queries)
         for i, (query, key, value) in enumerate(
                 zip(reversed(queries), reversed(keys), reversed(values))):
-            b, h, w, c = key.shape
             if i == 0:
-                message, topk_score, topk_idx = self._coarse(
-                    query, key, value, topk)
+                message, topk_idx = self._coarse(query, key, value, topk)
             else:
-                topk_prev = topk
                 topk = self.topks[i]
-                message, topk_score, topk_idx = self._fine(
-                    query, key, value, topk_score, topk_pos, topk_prev,
-                    topk)
+                message, topk_idx = self._fine(query, key, value,
+                                               topk_idx, topk)
             messages.append(message)
-            topk_pos = jnp.stack([topk_idx // w, topk_idx % w])
 
         weight = nn.softmax(params["weight"].astype(jnp.float32), axis=0)
         weight = weight.astype(messages[0].dtype)
