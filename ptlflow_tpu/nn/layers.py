@@ -119,17 +119,21 @@ class Conv2d(Module):
             padding = ((0, 0), (0, 0))
         if (self.groups == self.in_channels == self.out_channels
                 and self.groups > 1
-                and self.kernel_size[0] > 1
-                and self.kernel_size[0] * self.kernel_size[1] >= 25
+                and self.kernel_size[0] >= 13 and self.kernel_size[1] >= 13
                 and self.stride == (1, 1) and self.dilation == (1, 1)
                 and not isinstance(padding, str)):
             # Large-kernel depthwise (the super-kernel PCBlocks of
-            # SKFlow/StreamFlow/DPFlow use up to 15x15): XLA TPU's grouped
-            # conv emitter degrades catastrophically here (measured 134 ms
-            # for 15x15 over (3,63,125,324) on v5e).  Decomposing into kh
-            # row convs (1 x kw depthwise each, statically row-shifted and
-            # summed) is bit-equivalent (fp32 conv accumulation either way)
-            # and 27x faster (4.98 ms on the same shape).
+            # SKFlow/StreamFlow/MemFlow/VideoFlow use 15x15): XLA TPU's
+            # grouped conv emitter has a sharp cliff when BOTH kernel dims
+            # are large (v5e, (3,63,125,324) fp32: 15x15 131 ms, 13x15
+            # 113 ms — yet 15x13 1.2 ms, 13x13 0.8 ms, 9x15 0.4 ms).
+            # Splitting the kernel rows into <=8-row chunks (two 8x15/7x15
+            # convs, statically row-shifted and summed) stays below the
+            # cliff on both operands and is bit-equivalent up to fp32 sum
+            # order: 0.96 ms on the same shape, 2.8x faster than the 1-row
+            # decomposition this replaced.  Mid-size kernels (5x5..13x13)
+            # take the plain emitter path below — it beats any row split
+            # there (7x7@c640: single 0.62 ms vs rows 1.39 ms).
             y = self._depthwise_rows(x, w.astype(x.dtype), padding)
         else:
             y = jax.lax.conv_general_dilated(
@@ -144,16 +148,17 @@ class Conv2d(Module):
             y = y + params["bias"].astype(y.dtype)
         return y
 
-    def _depthwise_rows(self, x, w, padding):
-        kh = self.kernel_size[0]
+    def _depthwise_rows(self, x, w, padding, chunk: int = 8):
+        kh_total = self.kernel_size[0]
         (ph0, ph1), pw = padding
         xp = jnp.pad(x, ((0, 0), (ph0, ph1), (0, 0), (0, 0)))
-        out_h = xp.shape[1] - kh + 1
+        out_h = xp.shape[1] - kh_total + 1
         acc = None
-        for dy in range(kh):
-            xs = jax.lax.slice_in_dim(xp, dy, dy + out_h, axis=1)
+        for dy0 in range(0, kh_total, chunk):
+            kh = min(chunk, kh_total - dy0)
+            xs = jax.lax.slice_in_dim(xp, dy0, dy0 + out_h + kh - 1, axis=1)
             y = jax.lax.conv_general_dilated(
-                xs, w[dy:dy + 1], (1, 1), ((0, 0), pw),
+                xs, w[dy0:dy0 + kh], (1, 1), ((0, 0), pw),
                 feature_group_count=self.groups,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             acc = y if acc is None else acc + y
