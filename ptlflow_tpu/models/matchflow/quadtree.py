@@ -118,17 +118,18 @@ class QTAttB(nn.Module):
 
         # top_k on the RAW scores (same selection: softmax is monotone);
         # candidate j = (parent slot k, child c) decodes ARITHMETICALLY to
-        # an absolute map position (== next level's parent-block id), so no
-        # scalar gather is needed — the parent-slot pick is a one-hot
-        # einsum over the tiny K axis (exact: block ids < 2^24 in fp32)
+        # an absolute map position (== next level's parent-block id). The
+        # parent-slot pick stays integer end-to-end: a float one-hot einsum
+        # at Precision.DEFAULT runs bf16 operand passes on TPU, which only
+        # represents integers exactly up to 256 — block ids above that
+        # would silently round to a wrong parent. The gather is tiny
+        # (K ints per query group), so there is no MXU win to chase here.
         _, sel = jax.lax.top_k(qk, min(topk, qk.shape[-1]))
         ksel, csel = sel // 4, sel % 4  # (B, Lp, 4, H, Kn)
-        oh = (ksel[..., None]
-              == jnp.arange(kk)).astype(jnp.float32)  # (B,Lp,4,H,Kn,K)
-        pid = jnp.einsum("blthsk,bhlk->blths", oh,
-                         topk_pidx.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
-        pid = pid.astype(jnp.int32)
+        pidx = jnp.broadcast_to(
+            topk_pidx.transpose(0, 2, 1, 3)[:, :, None],
+            (b, lp, 4, nh, kk))  # (B, Lp, 4, H, K) parent ids per group
+        pid = jnp.take_along_axis(pidx, ksel, axis=-1)
         pr, pc = pid // wp, pid % wp
         topk_idx = (pr * 2 + csel // 2) * w + pc * 2 + csel % 2
 

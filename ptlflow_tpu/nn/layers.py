@@ -119,7 +119,9 @@ class Conv2d(Module):
             padding = ((0, 0), (0, 0))
         if (self.groups == self.in_channels == self.out_channels
                 and self.groups > 1
-                and self.kernel_size[0] >= 13 and self.kernel_size[1] >= 13
+                and ((self.kernel_size[0] >= 13 and self.kernel_size[1] >= 13)
+                     or (self.kernel_size[0] >= 10
+                         and self.kernel_size[1] >= 15))
                 and self.stride == (1, 1) and self.dilation == (1, 1)
                 and not isinstance(padding, str)):
             # Large-kernel depthwise (the super-kernel PCBlocks of
@@ -133,7 +135,10 @@ class Conv2d(Module):
             # order: 0.96 ms on the same shape, 2.8x faster than the 1-row
             # decomposition this replaced.  Mid-size kernels (5x5..13x13)
             # take the plain emitter path below — it beats any row split
-            # there (7x7@c640: single 0.62 ms vs rows 1.39 ms).
+            # there (7x7@c640: single 0.62 ms vs rows 1.39 ms).  The gate
+            # also covers kh in [10, 12] at kw>=15 (unmeasured gap between
+            # the good 9x15 and the bad 13x15): the row split is at worst
+            # ~2x the plain emitter there, never the 100x cliff.
             y = self._depthwise_rows(x, w.astype(x.dtype), padding)
         else:
             y = jax.lax.conv_general_dilated(

@@ -94,7 +94,11 @@ def to_nhwc(t):
     return t.permute(0, 2, 3, 1).detach().numpy()
 
 
-def test_qtattb_parity(ref):
+@pytest.mark.parametrize("h,w", [(8, 8), (48, 64)])
+def test_qtattb_parity(ref, h, w):
+    # (48, 64) puts >256 parent blocks at the finest level (24*32 = 768),
+    # the regime where parent ids stop being exactly representable in
+    # bfloat16 — guards the integer-only id plumbing in QTAttB._fine.
     torch.manual_seed(0)
     nhead, d = 2, 8
     c = nhead * d
@@ -102,7 +106,6 @@ def test_qtattb_parity(ref):
     j = jq.QTAttB(nhead, d, scale=3, topks=[4, 3, 3])
     params = {"weight": jnp.asarray(t.weight.detach().numpy())}
     rng = np.random.RandomState(0)
-    h, w = 8, 8
     qs, ks, vs = [], [], []
     jqs, jks, jvs = [], [], []
     for i in range(3):
