@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from ...utils.registry import register_model
+from ...utils.registry import register_model, trainable
 from ..sea_raft.sea_raft import SEARAFT
 from .backbones import ConvNeXtExtractor, MobileNetV3Extractor
 
@@ -45,6 +45,7 @@ class ReCoVEr(SEARAFT):
 
 
 @register_model
+@trainable
 class recover_mn(ReCoVEr):
     extractor_name = "mn"
     pretrained_checkpoints = {
@@ -53,6 +54,7 @@ class recover_mn(ReCoVEr):
 
 
 @register_model
+@trainable
 class recover_rn(ReCoVEr):
     extractor_name = "rn"
     pretrained_checkpoints = {
@@ -61,6 +63,7 @@ class recover_rn(ReCoVEr):
 
 
 @register_model
+@trainable
 class recover_cx(ReCoVEr):
     extractor_name = "cx"
     pretrained_checkpoints = {

@@ -1,12 +1,16 @@
 #!/bin/bash
-# Re-measure the models whose benchmark.csv rows predate the round-3
-# optimizations (batched fnet, fused single-gather grid_sample, gather-free
-# hd3 density2vector), plus the two models never benchmarked (ccmr_p,
-# ms_raft_p via AltCorrBlock).  Run from the repo root with the TPU up.
-# One TPU job at a time (see model_benchmark.py timing notes).
+# Re-measure benchmark rows that predate the latest optimization round,
+# plus any models never benchmarked.  Run from the repo root with the TPU
+# up.  One TPU job at a time (see model_benchmark.py timing notes).
+#
+# Round-5 stale set: the four sub-1x rows (raft_small, lcv_raft_small,
+# hd3, hd3_ctxt), the rows predating the r4 quadtree/scv/corr-pyramid
+# optimizations (matchflow, matchflow_raft, scv4, scv8, separableflow,
+# streamflow), and the two never-measured variants (ccmr_p, ms_raft_p).
 set -e
 CSV=outputs/benchmark_tpu/benchmark.csv
-STALE="raft_small lcv_raft_small hd3 hd3_ctxt"
+STALE="raft_small lcv_raft_small hd3 hd3_ctxt matchflow matchflow_raft \
+scv4 scv8 separableflow streamflow"
 python - "$CSV" $STALE <<'EOF'
 import csv, sys
 path, stale = sys.argv[1], set(sys.argv[2:])
@@ -20,8 +24,10 @@ with open(path, "w", newline="") as f:
 print(f"dropped {dropped} stale rows")
 EOF
 python model_benchmark.py \
-    --models raft_small lcv_raft_small hd3 hd3_ctxt ccmr_p ms_raft_p \
-    --input_size 500 1000 --num_samples 10 --per_model_timeout 1200 \
+    --models raft_small lcv_raft_small hd3 hd3_ctxt matchflow \
+             matchflow_raft scv4 scv8 separableflow streamflow \
+             ccmr_p ms_raft_p \
+    --input_size 500 1000 --num_samples 10 --per_model_timeout 1800 \
     --output_path outputs/benchmark_tpu
 python compare_benchmark.py --ours outputs/benchmark_tpu/benchmark.csv \
     --reference /root/reference/docs/source/results/model_benchmark-all.csv \

@@ -243,3 +243,33 @@ def test_recover_training_and_loss(name):
     out = model.forward(model.params, inputs, training=True)
     assert out["flow_preds"].shape[0] == 2
     assert np.isfinite(float(model.loss_fn(out, inputs)))
+
+
+def test_recover_is_trainable_and_trains():
+    """recover_cx/mn/rn are @trainable in the reference
+    (recover.py:300-323); run a 2-step descent smoke on the smallest
+    backbone to prove the Laplace loss differentiates end-to-end."""
+    trainable = set(ptlflow_tpu.get_trainable_model_names())
+    assert {"recover_cx", "recover_mn", "recover_rn"} <= trainable
+
+    from ptlflow_tpu.parallel.train import (build_train_step,
+                                            create_train_state,
+                                            make_optimizer)
+
+    model = ptlflow_tpu.get_model("recover_mn", args={"iters": 1})
+    model.init_params()
+    tx = make_optimizer(lr=1e-4)
+    state = create_train_state(model, tx)
+    step = build_train_step(model, tx)
+    rng = np.random.RandomState(7)
+    b, h, w = 1, 64, 64
+    batch = {
+        "images": jnp.asarray(rng.rand(b, 2, 3, h, w).astype(np.float32)),
+        "flows": jnp.asarray(rng.randn(b, 1, 2, h, w).astype(np.float32)),
+        "valids": jnp.ones((b, 1, 1, h, w), jnp.float32),
+    }
+    losses = []
+    for _ in range(2):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses), losses
