@@ -181,11 +181,14 @@ class CSFlow(BaseModel):
                 fs = jnp.moveaxis(fs, -3, -1)
             coords1 = coords1 + forward_interpolate(fs)
 
-        # strip-softmax flow initialization (csflow.py:175-195)
-        corr_w_act = jax.nn.softmax(corr_w.astype(jnp.float32), axis=4)
-        corr_h_act = jax.nn.softmax(corr_h.astype(jnp.float32), axis=3)
-        flow_v = jnp.sum(corr_w_act * corr_w, axis=(3, 4))  # B H1 W1
-        flow_u = jnp.sum(corr_h_act * corr_h, axis=(3, 4))
+        # strip flow initialization (csflow.py:175-195).  The reference
+        # softmaxes over the SINGLETON axis (dim 3 of B H1 W1 1 W2 /
+        # dim 4 of B H1 W1 H2 1), which is identically 1.0 — so the
+        # "softmax-weighted regression" its comment describes degenerates
+        # to a plain sum over the strip.  The released checkpoints were
+        # trained with that behavior, so reproduce it exactly.
+        flow_v = jnp.sum(corr_w, axis=(3, 4))  # B H1 W1
+        flow_u = jnp.sum(corr_h, axis=(3, 4))
         corr_init = jnp.stack([flow_u, flow_v], axis=-1).astype(fmap1.dtype)
         coords1 = jax.lax.stop_gradient(coords1) + corr_init
 

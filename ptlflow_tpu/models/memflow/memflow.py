@@ -186,6 +186,14 @@ class MemFlow(BaseModel):
                              max_pos_size=160, dim_head=self.context_dim)
         self.clear_memory()
 
+    def from_torch(self, flat, strict=True, _path=""):
+        """Reference checkpoints nest the whole net under ``network.``
+        (memflow.py:92 ``self.network = MemFlowNet(...)``); our tree is
+        flat with the same child names, so strip the wrapper prefix."""
+        flat = {(k[len("network."):] if k.startswith("network.") else k): v
+                for k, v in flat.items()}
+        return super().from_torch(flat, strict=strict, _path=_path)
+
     # -------------------------------------------------------- streaming
     def clear_memory(self):
         self.curr_ti = -1

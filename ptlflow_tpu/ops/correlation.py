@@ -394,19 +394,70 @@ class AltCorrBlock:
             fmap2 = avg_pool2d(fmap2, 2, 2)
             self.f2_pyramid.append(fmap2)
 
-    def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
-        """TPU formulation: ONE integer-window gather per level.
+    # Cap on the gathered-patch intermediate, in unpadded fp32 elements.
+    # At the finest CCMR+/MS-RAFT+ level (1/2 res, q = 256x512 at
+    # 500x1000 input) the all-queries patch tensor is q*m*m*c = 838M
+    # elements = 3.1 GB unpadded and >2x that after (8,128) tile padding
+    # — it alone OOMs a 16 GB chip.  Chunking the query axis through
+    # lax.map keeps HBM traffic identical (same gathers, serialized)
+    # while bounding the live intermediate.
+    _MAX_PATCH_ELEMS = 1 << 26
 
-        All (2r+1)^2 window taps share the query's fractional offset, so
-        instead of n^2 bilinear samples (4 corner gathers each — the
-        reference CUDA kernel's memory pattern) this gathers the
-        (n+1)x(n+1) integer patch of fmap2 around floor(coords) once
-        (C-wide rows, the gather-friendly shape), contracts with fmap1 on
-        the channel axis, and applies the shared 2x2 bilinear stencil to
-        the resulting SCALAR grid — 4C fewer bytes per tap and the only
-        gather is patch-shaped.  Matches grid_sample zero padding: taps
-        outside the level are masked to zero before the contraction.
+    def _level_corr(self, f1, f2p, base, r):
+        """Windowed corr for one pyramid level over q queries.
+
+        f1 (q, c) query features; f2p (h2+2m, w2+2m, c) ZERO-PADDED level
+        map; base (q, 2) window centers in unpadded level coords;
+        returns (q, n*n).  All (2r+1)^2 taps share the query's
+        fractional offset, so instead of n^2 bilinear samples (4 corner
+        gathers each — the reference CUDA kernel's memory pattern) this
+        gathers the (n+1)x(n+1) integer patch around floor(base) once,
+        contracts with f1 on the channel axis, and applies the shared
+        2x2 bilinear stencil to the resulting SCALAR grid — 4C fewer
+        bytes per tap.
+
+        The patch is fetched as m ROW SEGMENTS per query via lax.gather
+        with slice_sizes (1, m, c): each gather element is a contiguous
+        m*c-float row strip, ~10x larger than the single-(y, x) rows
+        take_along_axis lowers to, which measured 1.7x faster on v5e
+        (43 vs 75 ms at the CCMR+ finest level, q = 256x512).  Boundary
+        semantics come from the zero margin instead of per-tap masks:
+        with pad = m >= r+2, every partially-overlapping window reads
+        its out-of-range taps from the zeros, and fully-out-of-range
+        windows (CLIP mode shifts their start) land entirely in the
+        margin — exactly grid_sample's zeros padding, no masking ops.
         """
+        q, c = f1.shape
+        n = 2 * r + 1
+        m = n + 1
+        pad = m
+        h2, w2 = f2p.shape[0] - 2 * pad, f2p.shape[1] - 2 * pad
+        x0 = jnp.floor(base[..., 0])
+        y0 = jnp.floor(base[..., 1])
+        fx = (base[..., 0] - x0)[:, None, None]  # (q, 1, 1)
+        fy = (base[..., 1] - y0)[:, None, None]
+        sy = (y0.astype(jnp.int32) - r + pad)[:, None] + jnp.arange(m)
+        sx = jnp.broadcast_to((x0.astype(jnp.int32) - r + pad)[:, None],
+                              sy.shape)
+        starts = jnp.stack([sy, sx], axis=-1).reshape(q * m, 2)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1))
+        g = jax.lax.gather(f2p, starts, dn, slice_sizes=(1, m, c),
+                           mode=jax.lax.GatherScatterMode.CLIP)
+        d = jnp.einsum("qc,qtc->qt", f1,
+                       g.reshape(q, m * m, c),
+                       preferred_element_type=jnp.float32)
+        d = d.reshape(q, m, m)
+        wy0 = (1.0 - fy)
+        wx0 = (1.0 - fx)
+        val = (wy0 * (wx0 * d[:, :n, :n] + fx * d[:, :n, 1:])
+               + fy * (wx0 * d[:, 1:, :n] + fx * d[:, 1:, 1:]))
+        # (q, dy, dx) -> reference channel order: x on the SLOW
+        # window axis (corr.py:40-47)
+        return val.swapaxes(1, 2).reshape(q, n * n)
+
+    def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = self.fmap1.shape
         r = self.radius
         n = 2 * r + 1
@@ -416,35 +467,28 @@ class AltCorrBlock:
         cdtype = jnp.promote_types(coords.dtype, jnp.float32)
         outs = []
         for i, f2 in enumerate(self.f2_pyramid):
-            h2, w2 = f2.shape[1], f2.shape[2]
             base = (coords.reshape(b, q, 2) / (2 ** i)).astype(cdtype)
-            x0 = jnp.floor(base[..., 0])
-            y0 = jnp.floor(base[..., 1])
-            fx = (base[..., 0] - x0)[..., None, None]  # (b, q, 1, 1)
-            fy = (base[..., 1] - y0)[..., None, None]
-            ty = y0.astype(jnp.int32)[..., None] + jnp.arange(m) - r  # (b,q,m)
-            tx = x0.astype(jnp.int32)[..., None] + jnp.arange(m) - r
-            del x0, y0
-            vy = (ty >= 0) & (ty <= h2 - 1)
-            vx = (tx >= 0) & (tx <= w2 - 1)
-            tyc = jnp.clip(ty, 0, h2 - 1)
-            txc = jnp.clip(tx, 0, w2 - 1)
-            idx = (tyc[:, :, :, None] * w2
-                   + txc[:, :, None, :]).reshape(b, q * m * m)
-            g = jnp.take_along_axis(f2.reshape(b, h2 * w2, c),
-                                    idx[..., None], axis=1)
-            g = g.reshape(b, q, m, m, c)
-            valid = (vy[:, :, :, None] & vx[:, :, None, :])
-            g = g * valid[..., None].astype(g.dtype)
-            d = jnp.einsum("bqc,bqyxc->bqyx", f1, g,
-                           preferred_element_type=jnp.float32)
-            wy0 = (1.0 - fy)
-            wx0 = (1.0 - fx)
-            val = (wy0 * (wx0 * d[:, :, :n, :n] + fx * d[:, :, :n, 1:])
-                   + fy * (wx0 * d[:, :, 1:, :n] + fx * d[:, :, 1:, 1:]))
-            # (b, q, dy, dx) -> reference channel order: x on the SLOW
-            # window axis (corr.py:40-47)
-            val = val.swapaxes(2, 3).reshape(b, h, w, n * n)
+            f2p = jnp.pad(f2, ((0, 0), (m, m), (m, m), (0, 0)))
+            nchunks = 1
+            while (q // nchunks) * m * m * c > self._MAX_PATCH_ELEMS \
+                    and q % (nchunks * 2) == 0:
+                nchunks *= 2
+
+            def one_batch(f1b, f2pb, baseb):
+                if nchunks == 1:
+                    return self._level_corr(f1b, f2pb, baseb, r)
+                qc = q // nchunks
+                val = jax.lax.map(
+                    lambda a: self._level_corr(a[0], f2pb, a[1], r),
+                    (f1b.reshape(nchunks, qc, c),
+                     baseb.reshape(nchunks, qc, 2)))
+                return val.reshape(q, n * n)
+
+            if b == 1:
+                val = one_batch(f1[0], f2p[0], base[0])[None]
+            else:
+                val = jax.vmap(one_batch)(f1, f2p, base)
+            val = val.reshape(b, h, w, n * n)
             outs.append((val / math.sqrt(c)).astype(self.fmap1.dtype))
         return jnp.concatenate(outs, axis=-1)
 
