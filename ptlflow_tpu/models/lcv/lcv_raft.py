@@ -42,6 +42,11 @@ class LearnableCorrBlock(nn.Module):
     def _torch_leaves(self):
         return {"raw_P": lambda p: p, "raw_D": lambda d: d}
 
+    def _torch_ignore(self):
+        # constant identity buffer (corr_lcv.py:17); recomputed in
+        # weight_matrix, never learned
+        return {"eye"}
+
     def weight_matrix(self, params):
         import math
 

@@ -66,6 +66,12 @@ class Module:
         """Map of this module's own (non-child) torch param names to converters."""
         return {}
 
+    def _torch_ignore(self) -> set:
+        """Torch state_dict names of this module to drop on conversion:
+        constant (non-learned) buffers the JAX side recomputes, e.g.
+        LCV's identity matrix (corr_lcv.py:17 register_buffer('eye'))."""
+        return set()
+
     def from_torch(self, flat: Dict[str, np.ndarray], strict: bool = True,
                    _path: str = "") -> Dict[str, Any]:
         """Convert a flat torch state_dict (already scoped to this module).
@@ -73,7 +79,7 @@ class Module:
         ``flat`` maps dotted names relative to this module to numpy arrays.
         """
         params: Dict[str, Any] = {}
-        used = set()
+        used = set(n for n in self._torch_ignore() if n in flat)
         leaves = self._torch_leaves()
         for name, fn in leaves.items():
             if name in flat:

@@ -389,10 +389,20 @@ class AltCorrBlock:
         self.num_levels = num_levels
         self.radius = radius
         self.fmap1 = fmap1
-        self.f2_pyramid = [fmap2]
-        for _ in range(num_levels - 1):
+        m = 2 * radius + 2
+        # Each level is zero-padded by the window extent ONCE here —
+        # __call__ runs inside the iteration scan, and XLA does not
+        # reliably hoist the pad copy out of the loop body.  (A
+        # take_along_axis variant on the unpadded maps — the round-3
+        # lowering — was re-measured against this one on v5e and lost at
+        # every AltCorr user's shape: ccmr 527 vs 470 ms total; the r3
+        # file itself measures 785 ms in today's runtime, so the old
+        # 225 ms row reflected an older libtpu, not a faster lowering.)
+        self.f2_pyramid = []
+        for _ in range(num_levels):
+            self.f2_pyramid.append(
+                jnp.pad(fmap2, ((0, 0), (m, m), (m, m), (0, 0))))
             fmap2 = avg_pool2d(fmap2, 2, 2)
-            self.f2_pyramid.append(fmap2)
 
     # Cap on the gathered-patch intermediate, in unpadded fp32 elements.
     # At the finest CCMR+/MS-RAFT+ level (1/2 res, q = 256x512 at
@@ -466,9 +476,8 @@ class AltCorrBlock:
         f1 = self.fmap1.reshape(b, q, c)
         cdtype = jnp.promote_types(coords.dtype, jnp.float32)
         outs = []
-        for i, f2 in enumerate(self.f2_pyramid):
+        for i, f2p in enumerate(self.f2_pyramid):
             base = (coords.reshape(b, q, 2) / (2 ** i)).astype(cdtype)
-            f2p = jnp.pad(f2, ((0, 0), (m, m), (m, m), (0, 0)))
             nchunks = 1
             while (q // nchunks) * m * m * c > self._MAX_PATCH_ELEMS \
                     and q % (nchunks * 2) == 0:
