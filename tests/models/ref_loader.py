@@ -356,6 +356,42 @@ def _install_timm_extras():
         """Back timm.create_model with the reference's OWN vendored
         twins copy (flowformer/twins.py — identical param layout to the
         timm checkpoint the real encoders.py loads)."""
+        if name.startswith("vit_"):
+            # waft's VisionTransformer (backbone/vit.py:34-52) only
+            # takes .blocks and .embed_dim off the timm ViT; build the
+            # standard pre-norm blocks from the stub's Attention/Mlp
+            # (timm param names: norm1/attn.qkv/attn.proj/norm2/mlp.fc*).
+            cfg = {"vit_tiny_patch16_224": (192, 12, 3),
+                   "vit_small_patch16_224": (384, 12, 6),
+                   "vit_base_patch16_224": (768, 12, 12),
+                   "vit_large_patch16_224": (1024, 24, 16)}[name]
+            dim, depth, heads = cfg
+            from timm.models.vision_transformer import Attention
+            from timm.layers import Mlp
+
+            class ViTBlock(torch.nn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.norm1 = torch.nn.LayerNorm(dim, eps=1e-6)
+                    self.attn = Attention(dim, heads, qkv_bias=True)
+                    self.norm2 = torch.nn.LayerNorm(dim, eps=1e-6)
+                    self.mlp = Mlp(dim, dim * 4)
+
+                def forward(self, x):
+                    x = x + self.attn(self.norm1(x))
+                    return x + self.mlp(self.norm2(x))
+
+            vit = torch.nn.Module()
+            vit.blocks = torch.nn.ModuleList(
+                [ViTBlock() for _ in range(depth)])
+            vit.embed_dim = dim
+            return vit
+        if name.startswith("resnet18"):
+            # waft_a1/a2 only slice .layer1-4 off a features_only
+            # resnet18 (waft_a1.py:41-51); the suite's stub ResNet has
+            # the same block structure and timm param names.
+            tv = sys.modules["torchvision"]
+            return tv.models.get_model("resnet18")
         if name != "twins_svt_large":
             raise NotImplementedError(f"timm stub: {name}")
         import importlib.util
@@ -384,6 +420,32 @@ def _install_timm_extras():
                     return _orig(self, x, size)
 
                 cls.forward = fwd
+        if kwargs.pop("features_only", False):
+            # timm features_only contract (waft backbone/twins.py:180):
+            # forward returns the four stage maps as NCHW tensors.
+            class TwinsFeatures(mod.Twins):
+                def forward(self, x):
+                    outs = []
+                    B = x.shape[0]
+                    for embed, drop, blocks, pos_blk in zip(
+                            self.patch_embeds, self.pos_drops,
+                            self.blocks, self.pos_block):
+                        x, size = embed(x)
+                        x = drop(x)
+                        for j, blk in enumerate(blocks):
+                            x = blk(x, size)
+                            if j == 0:
+                                x = pos_blk(x, size)
+                        x = (x.reshape(B, *size, -1)
+                             .permute(0, 3, 1, 2).contiguous())
+                        outs.append(x)
+                    return outs
+
+            return TwinsFeatures(
+                patch_size=4, embed_dims=[128, 256, 512, 1024],
+                num_heads=[4, 8, 16, 32], mlp_ratios=[4, 4, 4, 4],
+                depths=[2, 2, 18, 2], wss=[7, 7, 7, 7],
+                sr_ratios=[8, 4, 2, 1], num_classes=0, **kwargs)
         return mod.Twins(
             patch_size=4, embed_dims=[128, 256, 512, 1024],
             num_heads=[4, 8, 16, 32], mlp_ratios=[4, 4, 4, 4],
@@ -394,6 +456,80 @@ def _install_timm_extras():
         timm.create_model = create_model
 
 
+def _install_faiss_stub():
+    """scv's knn.py only needs the module to import; the actual
+    brute-force inner-product top-k is replaced post-import (see
+    load_ref_ptlflow) with an exact torch equivalent."""
+    if sys.modules.get("faiss") is not None:
+        return
+    faiss = _module("faiss")
+
+    class _Res:
+        def setDefaultNullStreamAllDevices(self):
+            pass
+
+    faiss.StandardGpuResources = _Res
+    faiss.METRIC_L2 = 1
+    faiss.METRIC_INNER_PRODUCT = 0
+    faiss.GpuDistanceParams = object
+
+
+def _exact_knn_faiss_raw(fmap1, fmap2, k):
+    """Exact replacement for scv/knn.py:88-118 (faiss bfKnn, inner
+    product): top-k of f1 . f2 per query.  fmap1/fmap2 (B, C, N);
+    returns (dist, indx) each (B, k, N) like the original."""
+    corr = torch.einsum("bcn,bcm->bnm", fmap1, fmap2)
+    dist, indx = corr.topk(k, dim=2)  # (B, N, k), descending
+    return (dist.permute(0, 2, 1).contiguous(),
+            indx.permute(0, 2, 1).contiguous())
+
+
+def _install_torch_scatter_stub():
+    """scatter_softmax / scatter_add on plain torch (exact math): the
+    reference scv family needs them (scv/utils.py:7)."""
+    if sys.modules.get("torch_scatter") is not None:
+        return
+    ts = _module("torch_scatter")
+
+    def _broadcast(index, src, dim):
+        if index.dim() == 1:
+            for _ in range(index.dim(), src.dim()):
+                index = index.unsqueeze(-1)
+        return index.expand_as(src)
+
+    def scatter_add(src, index, dim=0, out=None, dim_size=None):
+        index = _broadcast(index, src, dim)
+        if dim_size is None:
+            dim_size = int(index.max()) + 1 if index.numel() else 0
+        size = list(src.shape)
+        size[dim] = dim_size
+        base = torch.zeros(size, dtype=src.dtype) if out is None else out
+        return base.scatter_add(dim, index, src)
+
+    def scatter_max(src, index, dim=0, dim_size=None):
+        index = _broadcast(index, src, dim)
+        if dim_size is None:
+            dim_size = int(index.max()) + 1 if index.numel() else 0
+        size = list(src.shape)
+        size[dim] = dim_size
+        out = torch.full(size, float("-inf"), dtype=src.dtype)
+        out = out.scatter_reduce(dim, index, src, reduce="amax",
+                                 include_self=True)
+        return out, None
+
+    def scatter_softmax(src, index, dim=0):
+        idx = _broadcast(index, src, dim)
+        mx, _ = scatter_max(src, index, dim)
+        src_s = src - mx.gather(dim, idx)
+        ex = src_s.exp()
+        den = scatter_add(ex, index, dim)
+        return ex / den.gather(dim, idx).clamp_min(1e-16)
+
+    ts.scatter_add = scatter_add
+    ts.scatter_max = scatter_max
+    ts.scatter_softmax = scatter_softmax
+
+
 def install_ref_stubs():
     """Install every stub plus the rich timm/torchvision fakes already
     maintained by the test suite (conftest installs those on import)."""
@@ -402,6 +538,8 @@ def install_ref_stubs():
     _install_torchmetrics_stub()
     _install_jsonargparse_stub()
     _install_cupy_stub()
+    _install_faiss_stub()
+    _install_torch_scatter_stub()
     # rich fakes maintained elsewhere in the suite
     from tests.models.test_memfof import (
         _install_torchvision_stub as _tv_resnet_stub)
@@ -431,6 +569,14 @@ def load_ref_ptlflow():
     import ptlflow as ref_ptlflow  # noqa: the reference package
 
     assert ref_ptlflow.__file__.startswith(_REF_ROOT), ref_ptlflow.__file__
+    # swap the faiss-pointer knn for the exact torch equivalent
+    for modname in ("ptlflow.models.scv.knn",
+                    "ptlflow.models.scv.compute_sparse_correlation",
+                    "ptlflow.models.scv.scv",
+                    "ptlflow.models.scv.utils"):
+        mod = sys.modules.get(modname)
+        if mod is not None and hasattr(mod, "knn_faiss_raw"):
+            mod.knn_faiss_raw = _exact_knn_faiss_raw
     _ref_ptlflow = ref_ptlflow
     return ref_ptlflow
 
@@ -444,13 +590,35 @@ def build_ref_model(name: str, randomize_seed: int | None = None,
     cls = ref.get_model_reference(name)
     # jsonargparse materializes Sequence defaults as lists; some reference
     # extractors mutate them in place (e.g. sea_raft extractor.py:33), so
-    # direct construction with the tuple default would crash.
+    # direct construction with the tuple default would crash.  Walk the
+    # whole MRO: variant classes (e.g. recover_mn) often define a thin
+    # __init__(**kwargs) that hides the parent signature carrying the
+    # tuple default.
     import inspect
 
-    for pname, p in inspect.signature(cls.__init__).parameters.items():
-        if pname not in args and isinstance(p.default, tuple):
-            args[pname] = list(p.default)
-    model = cls(**args).eval()
+    tuple_defaults = {}
+    for klass in reversed(cls.__mro__):
+        init = klass.__dict__.get("__init__")
+        if init is None:
+            continue
+        try:
+            sig = inspect.signature(init)
+        except (TypeError, ValueError):
+            continue
+        for pname, p in sig.parameters.items():
+            if isinstance(p.default, tuple):
+                tuple_defaults[pname] = list(p.default)
+    injected = [p for p in tuple_defaults if p not in args]
+    for pname in injected:
+        args[pname] = tuple_defaults[pname]
+    try:
+        model = cls(**args).eval()
+    except TypeError:
+        # some __init__ chain rejects a forwarded default: drop the
+        # injected ones and construct with the caller's args only
+        for pname in injected:
+            args.pop(pname, None)
+        model = cls(**args).eval()
     if randomize_seed is not None:
         torch.manual_seed(randomize_seed)
         with torch.no_grad():

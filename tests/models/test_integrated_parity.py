@@ -74,7 +74,7 @@ CASES = {
     "maskflownet": dict(args={}),
     "maskflownet_s": dict(args={}),
     "matchflow": dict(args={"iters": 2, "use_tile_input": False}),
-    "memfof": dict(args={"decoder_depth": 2}, frames=3, size=(128, 128)),
+    "memfof": dict(args={"iters": 2}, frames=3, size=(256, 256)),
     "ms_raft_p": dict(args={"iters": [1, 1, 1, 1],
                             "alternate_corr": False}),
     "ccmr": dict(args={"iters": [1, 1, 1], "alternate_corr": False}),
