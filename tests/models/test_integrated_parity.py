@@ -74,7 +74,10 @@ CASES = {
     "maskflownet": dict(args={}),
     "maskflownet_s": dict(args={}),
     "matchflow": dict(args={"iters": 2, "use_tile_input": False}),
-    "memfof": dict(args={"iters": 2}, frames=3, size=(256, 256)),
+    # memfof's convex-upsample mask conv has fan_in 1024; at std=0.05 the
+    # random upsampler amplifies flows to ~1e5, making atol meaningless
+    # (observed max REL delta 5e-3 — wiring correct, scale absurd).
+    "memfof": dict(args={"iters": 2}, frames=3, size=(256, 256), std=0.01),
     "ms_raft_p": dict(args={"iters": [1, 1, 1, 1],
                             "alternate_corr": False}),
     "ccmr": dict(args={"iters": [1, 1, 1], "alternate_corr": False}),
