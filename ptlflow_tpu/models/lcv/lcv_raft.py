@@ -59,19 +59,29 @@ class LearnableCorrBlock(nn.Module):
         return P.T @ D @ P
 
     def compute_cost_volume(self, params, fmap1, fmap2) -> List[jnp.ndarray]:
+        # Each level is a direct matmul against the pooled fmap2 — identical
+        # to avg-pooling the level-0 volume (corr_lcv.py:59-66) by dot
+        # linearity: avgpool_j((f1 W) . f2_j) == (f1 W) . avgpool(f2).
+        # Pooling the (Q, h, w, 1) volume itself repacks Q strided tiles per
+        # level (the repack measured ~24 ms of lcv_raft's 93 ms forward on
+        # v5e at 500x1000); pooling fmap2 first writes every level straight
+        # from the MXU in its final layout (same rationale and identity as
+        # ops/correlation.py::build_corr_pyramid).
         b, h, w, c = fmap1.shape
         W = self.weight_matrix(params).astype(fmap1.dtype)
-        f1 = fmap1.reshape(b, h * w, c) @ W
-        f2 = fmap2.reshape(b, h * w, c)
-        corr = jax.lax.dot_general(
-            f1, f2, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) / jnp.sqrt(float(c))
-        corr = corr.reshape(b * h * w, h, w, 1).astype(fmap1.dtype)
-        pyramid = [corr]
-        for _ in range(self.num_levels):
-            if min(corr.shape[1:3]) > 2 * self.radius + 1:
-                corr = nn.avg_pool2d(corr, 2, 2)
-            pyramid.append(corr)
+        f1w = fmap1.reshape(b, h * w, c) @ W
+        scale = 1.0 / jnp.sqrt(float(c))
+        pyramid = []
+        f2 = fmap2
+        for i in range(self.num_levels + 1):
+            lvl = jnp.einsum("bic,bhwc->bihw", f1w, f2,
+                             preferred_element_type=jnp.float32) * scale
+            hl, wl = lvl.shape[2], lvl.shape[3]
+            pyramid.append(lvl.reshape(b * h * w, hl, wl, 1)
+                           .astype(fmap1.dtype))
+            if (i < self.num_levels
+                    and min(hl, wl) > 2 * self.radius + 1):
+                f2 = nn.avg_pool2d(f2, 2, 2)
         return pyramid
 
     def __call__(self, params, pyramid, coords, **kw):
