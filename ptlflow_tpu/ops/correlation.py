@@ -181,6 +181,19 @@ def _best_group(q: int, target: int = 8, lo: int = 3, hi: int = 12) -> int:
     g=5 77.2 vs ungrouped 99 and packed 91 — small groups win (the one-hot
     operand, whose streaming load bounds the einsum, grows with g).
     Returns 0 when no divisor exists (-> ungrouped path).
+
+    Structural ceiling (round-5 profile, raft_small@500x1000, 32 iters):
+    the in-model lookup is ~1.2 ms/iter and every alternative measured
+    slower (grouped3/5/7 57.7-62.5 ms total vs auto=grouped9 54.8; packed
+    63.1; per-level 58.4; unroll=2 58.3; barriers no-op).  The iteration
+    is HBM-bound: per iteration the einsums stream the full pyramid
+    (~330 MB) plus the materialized block-diagonal one-hots (~250 MB,
+    9x redundant vs their 14 MB of true content) — XLA cannot generate
+    the one-hot tiles in VMEM, and the gather formulations that avoid
+    them serialize (measured 5x slower).  Fusing the one-hot generation
+    into the matmul needs a Pallas kernel whose LHS tile is computed
+    in-register from the coords scalars; that is the one remaining lever
+    for the RAFT-family per-iteration floor.
     """
     best = 0
     for g in range(lo, hi + 1):
