@@ -173,6 +173,123 @@ def _lookup_grouped(pyramid: Sequence[jnp.ndarray], coords: jnp.ndarray,
     return jnp.concatenate(outs, axis=-1)
 
 
+def _pallas_tile(q: int, target: int = 9, lo: int = 4, hi: int = 24) -> int:
+    """Divisor of ``q`` nearest ``target`` for the Pallas lookup's query
+    tile (ties -> larger).  Same trade-off as ``_best_group``: the
+    block-diagonal stage-1 matmul wastes FLOPs linearly in the tile size,
+    while grid/DMA overhead grows as tiles shrink.  Returns 0 when no
+    divisor exists (-> caller falls back to the XLA grouped path)."""
+    best = 0
+    for t in range(lo, hi + 1):
+        if q % t == 0 and (best == 0
+                           or abs(t - target) < abs(best - target)
+                           or (abs(t - target) == abs(best - target)
+                               and t > best)):
+            best = t
+    return best
+
+
+def _lookup_pallas(pyramid: Sequence[jnp.ndarray], coords: jnp.ndarray,
+                   radius: int) -> Optional[jnp.ndarray]:
+    """Pallas lookup: the one-hot operands are generated in-register.
+
+    The XLA formulations above are HBM-bound: per iteration they stream
+    both the pyramid (~330 MB at Sintel resolution) *and* the materialized
+    block-diagonal one-hot selectors (~250 MB, g-fold redundant vs their
+    14 MB of true content) — see the structural-ceiling note on
+    ``_best_group``.  This kernel removes the second stream entirely: each
+    grid cell DMAs only its slab tile (T queries' level maps, one
+    contiguous chunk of the (Q*H2, W2) view) and builds the bilinear
+    selectors from the coords scalars with ``broadcasted_iota``-style
+    comparisons directly in VMEM, then runs the same two MXU contractions
+    as ``_lookup_grouped``:
+
+        tmp  = RYblk (T*n, T*H2) @ slab (T*H2, W2)          # block-diag
+        out2 = RX    (T*n, W2)   @ tmp^T-contraction         # full, then
+        out[t, a, b] = out2[t*n + a, t*n + b]                # diag blocks
+
+    Bit-matching semantics with the XLA paths (zero padding outside the
+    map via no-match comparisons; the first window axis offsets x, the
+    reference quirk from corr.py:37-50).  Returns None when no suitable
+    query-tile divisor exists.
+    """
+    from jax.experimental import pallas as pl
+
+    b, h1, w1, _ = coords.shape
+    q = b * h1 * w1
+    t_tile = _pallas_tile(q)
+    if t_tile == 0:
+        return None
+    n = 2 * radius + 1
+    tn = t_tile * n
+    interpret = jax.default_backend() != "tpu"
+    cf = coords.reshape(q, 2).astype(jnp.float32)
+    out_dt = pyramid[0].dtype
+
+    # static selector-index helpers (numpy: shapes are trace-time constants)
+    rowt = np.arange(tn) // n
+    sel = (rowt[:, None] == np.arange(t_tile)[None]).astype(np.float32)
+    arow = (np.arange(tn) % n - radius).astype(np.float32)[:, None]
+
+    outs = []
+    for i, corr in enumerate(pyramid):
+        h2, w2 = corr.shape[1], corr.shape[2]
+        slab2d = corr.reshape(q * h2, w2)  # row-major view: no copy
+        hcol = (np.arange(t_tile * h2) % h2).astype(np.float32)[None]
+        maskh = (rowt[:, None] == (np.arange(t_tile * h2)[None] // h2)
+                 ).astype(np.float32)
+        wcol = np.arange(w2, dtype=np.float32)[None]
+        inv = 1.0 / (2 ** i)
+
+        def kernel(coords_ref, c_ref, sel_ref, arow_ref, hcol_ref,
+                   maskh_ref, wcol_ref, o_ref):
+            cxy = coords_ref[...]  # (T, 2) fp32
+            xl = cxy[:, 0] * inv
+            yl = cxy[:, 1] * inv
+            x0 = jnp.floor(xl)
+            y0 = jnp.floor(yl)
+            fx = xl - x0
+            fy = yl - y0
+            s = sel_ref[...]  # (T*n, T) one-hot of each row's query
+            y0r = (s * y0[None, :]).sum(1, keepdims=True)  # (T*n, 1)
+            fyr = (s * fy[None, :]).sum(1, keepdims=True)
+            x0r = (s * x0[None, :]).sum(1, keepdims=True)
+            fxr = (s * fx[None, :]).sum(1, keepdims=True)
+            a = arow_ref[...]  # (T*n, 1) window offset - radius
+            ty = hcol_ref[...] - (y0r + a)  # (T*n, T*H2)
+            ry = maskh_ref[...] * ((ty == 0) * (1 - fyr) + (ty == 1) * fyr)
+            c = c_ref[...].astype(jnp.float32)  # (T*H2, W2)
+            tmp = jax.lax.dot_general(
+                ry, c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (T*n, W2)
+            tx = wcol_ref[...] - (x0r + a)  # (T*n, W2)
+            rx = (tx == 0) * (1 - fxr) + (tx == 1) * fxr
+            out2 = jax.lax.dot_general(
+                rx, tmp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (T*n_a, T*n_b)
+            for t in range(t_tile):
+                o_ref[t] = out2[t * n:(t + 1) * n, t * n:(t + 1) * n]
+
+        lvl = pl.pallas_call(
+            kernel,
+            grid=(q // t_tile,),
+            in_specs=[
+                pl.BlockSpec((t_tile, 2), lambda g: (g, 0)),
+                pl.BlockSpec((t_tile * h2, w2), lambda g: (g, 0)),
+                pl.BlockSpec((tn, t_tile), lambda g: (0, 0)),
+                pl.BlockSpec((tn, 1), lambda g: (0, 0)),
+                pl.BlockSpec((1, t_tile * h2), lambda g: (0, 0)),
+                pl.BlockSpec((tn, t_tile * h2), lambda g: (0, 0)),
+                pl.BlockSpec((1, w2), lambda g: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((t_tile, n, n), lambda g: (g, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((q, n, n), jnp.float32),
+            interpret=interpret,
+        )(cf, slab2d, sel, arow, hcol, maskh, wcol)
+        outs.append(lvl.reshape(b, h1, w1, n * n).astype(out_dt))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _best_group(q: int, target: int = 8, lo: int = 3, hi: int = 12) -> int:
     """Divisor of ``q`` nearest ``target`` (ties -> larger).
 
@@ -313,6 +430,14 @@ def make_corr_lookup(pyramid: Sequence[jnp.ndarray], radius: int,
         # raft_small 57.3 ms padded vs 56.7 grouped on v5e)
         return lambda coords: corr_pyramid_lookup(pyramid, coords, radius,
                                                   group=None)
+    if impl == "pallas":
+        def _pallas_or_grouped(coords):
+            out = _lookup_pallas(pyramid, coords, radius)
+            if out is None:  # no query-tile divisor: XLA grouped fallback
+                return corr_pyramid_lookup(pyramid, coords, radius,
+                                           group=None)
+            return out
+        return _pallas_or_grouped
     if impl.startswith("packed"):
         packed, shapes = pack_pyramid(pyramid)
         if impl.endswith("barrier"):

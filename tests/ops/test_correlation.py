@@ -151,3 +151,47 @@ def test_backward_warp_zero_flow_identity():
     flow = jnp.zeros((2, 7, 9, 2), jnp.float32)
     out = backward_warp(img, flow)
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_pallas_lookup_matches_grouped():
+    """The Pallas lookup (one-hot selectors generated in-register; see
+    ops/correlation.py::_lookup_pallas) must be bit-compatible with the
+    XLA grouped/ungrouped formulations, including out-of-range coords
+    (zero-padding semantics) and the x-offset-major channel order.
+    Runs in interpret mode on CPU (same kernel body the TPU compiles)."""
+    from ptlflow_tpu.ops.correlation import (
+        build_corr_pyramid, corr_pyramid_lookup, _lookup_pallas)
+
+    rng = np.random.RandomState(11)
+    b, h, w, c = 1, 8, 16, 12  # q = 128: query-tile divisor exists
+    f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    pyramid = build_corr_pyramid(f1, f2, 4)
+    # in-range, fractional, and out-of-range sample points
+    coords = jnp.asarray((rng.rand(b, h, w, 2) * 24 - 4).astype(np.float32))
+
+    got = np.asarray(_lookup_pallas(pyramid, coords, 4))
+    ungrouped = np.asarray(corr_pyramid_lookup(pyramid, coords, 4, group=0))
+    grouped = np.asarray(corr_pyramid_lookup(pyramid, coords, 4, group=None))
+    assert got.shape == (b, h, w, 4 * 81)
+    np.testing.assert_allclose(got, ungrouped, atol=1e-5)
+    np.testing.assert_allclose(got, grouped, atol=1e-6)
+
+
+def test_pallas_lookup_no_divisor_fallback():
+    """Prime query counts have no tile divisor: _lookup_pallas returns
+    None and make_corr_lookup(impl='pallas') falls back to XLA."""
+    from ptlflow_tpu.ops.correlation import (
+        build_corr_pyramid, corr_pyramid_lookup, _lookup_pallas,
+        make_corr_lookup)
+
+    rng = np.random.RandomState(12)
+    b, h, w, c = 1, 1, 37, 8  # q = 37 (prime)
+    f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    pyramid = build_corr_pyramid(f1, f2, 2)
+    coords = jnp.asarray((rng.rand(b, h, w, 2) * 40 - 2).astype(np.float32))
+    assert _lookup_pallas(pyramid, coords, 4) is None
+    out = make_corr_lookup(pyramid, 4, impl="pallas")(coords)
+    want = corr_pyramid_lookup(pyramid, coords, 4, group=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
